@@ -1,0 +1,89 @@
+package graft.canon
+
+import graft.model.{CanonRow, SameAsEdge}
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Stage 4: canonicalization — connected components over same-as edges,
+  * canonical id = min entity id per component.
+  *
+  * Algorithm: alternating large-star / small-star (Kiveris et al.,
+  * "Connected Components in MapReduce and Beyond", SoCC'14) — converges
+  * in O(log n) rounds vs O(diameter) for naive label propagation, and
+  * both star operations are plain groupBy+join (no collect_list of a
+  * whole neighborhood, so a skewed star component — FIXTURES.md §2.3 —
+  * never materializes one giant array).
+  *
+  * ≙ reference transitive-closure fixpoint (include_relation_provider.py:
+  * 80-133) and iterative folder prune (neo4j_manager.py:144-158): a
+  * driver loop of self-joins with lineage truncation via localCheckpoint
+  * every iteration (SURVEY.md §4 "Iterative fixpoint").
+  */
+object ConnectedComponents {
+
+  /** large-star: connect every neighbor v > u to min({u} ∪ N(u)). */
+  private def largeStar(e: DataFrame): DataFrame = {
+    val nbrs = e.union(e.select(col("v").as("u"), col("u").as("v")))
+    val mins = nbrs.groupBy("u").agg(min("v").as("mv"))
+      .select(col("u"), least(col("u"), col("mv")).as("m"))
+    nbrs.filter(col("v") > col("u"))
+      .join(mins, "u")
+      .select(col("v").as("u"), col("m").as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+  }
+
+  /** small-star: point all smaller-or-equal neighbors (and u) to the min. */
+  private def smallStar(e: DataFrame): DataFrame = {
+    val nbrs = e.select(
+      greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+      .filter(col("u") =!= col("v"))
+    val mins = nbrs.groupBy("u").agg(min("v").as("m"))
+    nbrs.join(mins, "u")
+      .select(col("v").as("u"), col("m").as("v"))
+      .union(mins.select(col("u"), col("m").as("v")))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+  }
+
+  /** Fixpoint loop over (large-star; small-star). Convergence detected by
+    * an order-insensitive checksum (count + sum of row hashes) — one
+    * cheap aggregate per round instead of an `except` join. */
+  def run(edges0: DataFrame, maxIter: Int = 50): DataFrame = {
+    var e = edges0.select(col("u").cast("long"), col("v").cast("long"))
+      .filter(col("u") =!= col("v")).distinct().localCheckpoint()
+    var prev = checksum(e)
+    var i = 0
+    var converged = e.isEmpty
+    while (!converged && i < maxIter) {
+      e = smallStar(largeStar(e)).localCheckpoint()
+      val cur = checksum(e)
+      converged = cur == prev
+      prev = cur
+      i += 1
+    }
+    require(converged, s"connected components did not converge in $maxIter rounds")
+    e // rows (u, v): v = canonical (min) id of u's component; v's own row absent
+  }
+
+  private def checksum(e: DataFrame): (Long, Long) = {
+    // bit_xor: order-insensitive, overflow-free under ANSI mode
+    val r = e.agg(
+      count(lit(1)).as("c"),
+      coalesce(bit_xor(xxhash64(col("u"), col("v"))), lit(0L)).as("s")).head()
+    (r.getLong(0), r.getLong(1))
+  }
+
+  /** Full canonical map over a universe of entity ids: component minima
+    * from `edges`, identity for untouched entities. */
+  def canonMap(entities: Dataset[java.lang.Long], edges: Dataset[SameAsEdge]): Dataset[CanonRow] = {
+    val spark = entities.sparkSession
+    import spark.implicits._
+    val cc = run(edges.toDF("u", "v"))
+    entities.toDF("entity_id")
+      .join(cc.withColumnRenamed("u", "entity_id"), Seq("entity_id"), "left")
+      .select(col("entity_id"),
+        coalesce(col("v"), col("entity_id")).as("canon_id"))
+      .as[CanonRow]
+  }
+}

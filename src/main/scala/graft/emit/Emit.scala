@@ -1,0 +1,119 @@
+package graft.emit
+
+import graft.model._
+import graft.util.SaltedJoin
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Stage 5: materialize the graph — triple, node, adjacency tables.
+  *
+  * Triple vocabulary mirrors the reference's edge set (SURVEY.md §7.0):
+  * contains ≙ CONTAINS, mentions ≙ DEFINES, links_to ≙ INCLUDES,
+  * relates_to ≙ CALLS. All dedup via dropDuplicates — the Spark analog of
+  * Cypher MERGE idempotency (SURVEY.md Appendix B #5).
+  */
+object Emit {
+
+  def entityId(id: Long): String = s"ent:$id"
+
+  /** mentions resolved to canonical entities. The mention stream is
+    * Zipf-skewed on entity_id (head entity on 20%+ of mentions) and the
+    * canon map at 10^12-doc scale is NOT broadcastable → explicit salted
+    * join (north_rule). */
+  def canonicalMentions(
+      linked: Dataset[LinkedMention],
+      canon: Dataset[CanonRow]): DataFrame = {
+    SaltedJoin.inner(
+      skewed = linked.toDF(),
+      dim = canon.toDF(),
+      key = "entity_id",
+      saltSource = col("url"))
+  }
+
+  def triples(
+      extracted: Dataset[ExtractedPage],
+      linked: Dataset[LinkedMention],
+      canon: Dataset[CanonRow]): Dataset[TripleRow] = {
+    val spark = extracted.sparkSession
+    import spark.implicits._
+    val ex = extracted.toDF()
+
+    val contains = ex.select($"site".as("subj"), $"url".as("obj"))
+      .distinct()
+      .select($"subj", lit(Pred.Contains).as("pred"), $"obj")
+
+    val cm = canonicalMentions(linked, canon)
+      .select($"url", $"canon_id")
+
+    val mentions = cm.distinct()
+      .select($"url".as("subj"), lit(Pred.Mentions).as("pred"),
+        concat(lit("ent:"), $"canon_id").as("obj"))
+
+    // links only to pages that exist — the MATCH-must-exist FK semantics
+    // of the reference's INCLUDES ingest (neo4j_manager.py:180-205).
+    val linksTo = ex.select($"url".as("subj"), explode($"links").as("obj"))
+      .join(ex.select($"url".as("obj")), Seq("obj"), "left_semi")
+      .distinct()
+      .select($"subj", lit(Pred.LinksTo).as("pred"), $"obj")
+
+    // co-mention on a page → relates_to between canonical entities
+    // (≙ CALLS: MERGE collapses multi-site pairs to one edge; self-pairs
+    // excluded — a page mentioning one entity twice is not a relation).
+    val perPage = cm.distinct()
+    val relates = perPage.as("a")
+      .join(perPage.as("b"), Seq("url"))
+      .filter($"a.canon_id" < $"b.canon_id")
+      .select(concat(lit("ent:"), $"a.canon_id").as("subj"),
+        lit(Pred.RelatesTo).as("pred"),
+        concat(lit("ent:"), $"b.canon_id").as("obj"))
+      .distinct()
+
+    contains.union(mentions).union(linksTo).union(relates).as[TripleRow]
+  }
+
+  def nodes(
+      extracted: Dataset[ExtractedPage],
+      triples: Dataset[TripleRow]): Dataset[NodeRow] = {
+    val spark = extracted.sparkSession
+    import spark.implicits._
+    val ex = extracted.toDF()
+
+    val sites = ex.select($"site").distinct()
+      .select($"site".as("node_id"), lit(Label.Site).as("label"),
+        map(lit("name"), $"site").as("props"))
+
+    val pages = ex.select($"url".as("node_id"), lit(Label.Page).as("label"),
+      map(lit("lang"), $"lang", lit("text_sha256"), $"text_sha256").as("props"))
+
+    val ents = triples.toDF()
+      .select(explode(array($"subj", $"obj")).as("node_id"))
+      .filter($"node_id".startsWith("ent:"))
+      .distinct()
+      .select($"node_id", lit(Label.Entity).as("label"),
+        map(lit("canon"), $"node_id").as("props"))
+
+    sites.union(pages).union(ents).as[NodeRow]
+  }
+
+  /** Degree-0 node cleanup, run last (reference pass 8,
+    * clangd_graph_rag_builder.py:200-207) — left_anti against the set of
+    * triple endpoints. */
+  def dropOrphans(
+      nodes: Dataset[NodeRow],
+      triples: Dataset[TripleRow]): Dataset[NodeRow] = {
+    val spark = nodes.sparkSession
+    import spark.implicits._
+    val endpoints = triples.toDF()
+      .select(explode(array($"subj", $"obj")).as("node_id")).distinct()
+    nodes.join(endpoints, Seq("node_id"), "left_semi").as[NodeRow]
+  }
+
+  def adjacency(triples: Dataset[TripleRow]): Dataset[AdjacencyRow] = {
+    val spark = triples.sparkSession
+    import spark.implicits._
+    triples.toDF()
+      .select(col("subj").as("src"), col("obj").as("dst"), col("pred"))
+      .dropDuplicates("src", "dst", "pred")
+      .as[AdjacencyRow]
+  }
+}

@@ -1,0 +1,58 @@
+package graft.extract
+
+import graft.model.{ExtractedPage, PageRow}
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Stage 1: url-dedup + deterministic text extraction.
+  *
+  * ≙ reference passes 0/1 (index parse + source parse): dedup-by-key
+  * (clangd_index_yaml_parser.py:256-258 "last wins" dict insert) followed
+  * by a deterministic per-row extractor (compilation_parser.py:49-121).
+  */
+object Extract {
+
+  /** Keep exactly one row per url: max (warc_ts, xxhash64(html)).
+    * The html hash is a total-order tie-break so the winner is
+    * deterministic under any parallelism (SURVEY.md §7.4). Implemented as
+    * a single hash aggregate (map-side partial `max_by` — no sort, no
+    * window function, one shuffle on url). */
+  def dedupLatest(pages: Dataset[PageRow]): Dataset[PageRow] = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    pages.toDF()
+      .groupBy($"url")
+      .agg(max_by(
+        struct($"url", $"warc_ts", $"html", $"text", $"lang"),
+        struct($"warc_ts", xxhash64($"html"))).as("r"))
+      .select($"r.*")
+      .as[PageRow]
+  }
+
+  private val siteRe = "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/]+)".r
+
+  /** Host part of a url — the CONTAINS hierarchy parent (≙ folder
+    * derivation, clangd_symbol_nodes_builder.py:416-424). */
+  def site(url: String): String =
+    siteRe.findFirstMatchIn(url).map(_.group(1)).getOrElse(url)
+
+  /** Pure per-row extraction — a typed Dataset.map over a deterministic
+    * Scala function; never a SQL UDF, never `asNondeterministic`. */
+  def extractOne(p: PageRow): ExtractedPage = {
+    val text = HtmlText.extract(p.html)
+    ExtractedPage(
+      url = p.url,
+      site = site(p.url),
+      warc_ts = p.warc_ts,
+      text = text,
+      lang = p.lang,
+      links = HtmlText.extractLinks(p.html),
+      text_sha256 = HtmlText.sha256Hex(text))
+  }
+
+  def run(pages: Dataset[PageRow]): Dataset[ExtractedPage] = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    dedupLatest(pages).map(extractOne _)
+  }
+}

@@ -1,0 +1,62 @@
+package graft.mention
+
+import java.util.Locale
+
+import graft.model.{AliasRow, CandidateRow, ExtractedPage}
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Stage 2: mention detection + candidate generation.
+  *
+  * Spec (frozen — the golden oracle depends on it):
+  *  - tokens(text) = text.toLowerCase(ROOT).split("[^a-z0-9]+"), empties
+  *    dropped;
+  *  - every token n-gram of length 1..maxAliasTokens whose space-joined
+  *    surface equals a dictionary alias is a mention; overlaps between
+  *    mentions are allowed (each match stands alone);
+  *  - a mention has one candidate row per dictionary entry of its alias.
+  *
+  * Execution shape (north_star: "candidate generation via a broadcast
+  * alias dictionary"): n-gram explode feeds a BroadcastHashJoin — the
+  * probe is map-side, pipelined inside whole-stage codegen, no shuffle of
+  * the big side. ≙ reference span-lookup probe (function_span_provider
+  * .py:35-82), where the spans dict is the broadcast side.
+  */
+object Mention {
+
+  def tokenize(text: String): Array[String] =
+    text.toLowerCase(Locale.ROOT).split("[^a-z0-9]+").filter(_.nonEmpty)
+
+  def aliasTokenCount(alias: String): Int = tokenize(alias).length
+
+  /** All (start, len, surface) n-grams of length 1..maxLen. */
+  def ngrams(tokens: Array[String], maxLen: Int): Iterator[(Int, Int, String)] =
+    for {
+      start <- Iterator.range(0, tokens.length)
+      len <- Iterator.range(1, maxLen + 1) if start + len <= tokens.length
+    } yield (start, len, tokens.slice(start, start + len).mkString(" "))
+
+  def detect(
+      extracted: Dataset[ExtractedPage],
+      dict: Dataset[AliasRow]): Dataset[CandidateRow] = {
+    val spark = extracted.sparkSession
+    import spark.implicits._
+
+    // Longest alias in the dictionary bounds n-gram generation. Tiny
+    // one-row aggregate, same shape as the reference's schema-version
+    // inference (clangd_index_yaml_parser.py:276-281).
+    val maxLen = dict
+      .map(a => aliasTokenCount(a.alias))
+      .agg(max("value")).as[Int].head()
+
+    val grams = extracted.flatMap { p =>
+      val toks = tokenize(p.text)
+      ngrams(toks, maxLen).map { case (s, l, g) => (p.url, s, l, g) }
+    }.toDF("url", "tok_start", "tok_len", "surface")
+
+    grams
+      .join(broadcast(dict.toDF()), $"surface" === $"alias", "inner")
+      .select($"url", $"tok_start", $"tok_len", $"alias", $"entity_id", $"prior")
+      .as[CandidateRow]
+  }
+}
