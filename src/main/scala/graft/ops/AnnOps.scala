@@ -1,0 +1,101 @@
+package graft.ops
+
+import graft.util.Det
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (array<float>).
+  *
+  * Brute-force cosine is the exact small-scale baseline (single scan,
+  * codegen'd higher-order functions, no shuffle before the final top-k).
+  * The scale path is LSH bucketing with random hyperplanes: signature
+  * computed per row map-side, candidate retrieval is an equi join on the
+  * bucket key, exact re-rank only within buckets.
+  */
+object AnnOps {
+
+  /** Cosine similarity between an embedding column and a literal query
+    * vector, computed in double via zip_with+aggregate (whole-stage
+    * codegen; no UDF). */
+  def cosineToQuery(emb: Column, query: Array[Float]): Column = {
+    val q = lit(query.map(_.toDouble))
+    val dot = aggregate(zip_with(emb, q, (x, y) => x.cast("double") * y),
+      lit(0.0), (acc, x) => acc + x)
+    val nEmb = sqrt(aggregate(
+      transform(emb, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, x) => acc + x))
+    val nQ = math.sqrt(query.map(x => x.toDouble * x.toDouble).sum)
+    dot / (nEmb * lit(nQ))
+  }
+
+  /** Exact brute-force top-k by cosine (deterministic tie-break on id).
+    * TakeOrderedAndProject: per-partition heap + driver merge of k rows —
+    * no global sort. */
+  def bruteForceTopK(
+      df: DataFrame, idCol: String, embCol: String,
+      query: Array[Float], k: Int): DataFrame =
+    df.select(col(idCol).as("id"),
+        round(cosineToQuery(col(embCol), query), 6).as("cos"))
+      .orderBy(col("cos").desc, col("id").asc)
+      .limit(k)
+
+  /** Deterministic random hyperplane p (dim `d`), seeded. */
+  def hyperplane(seed: Long, plane: Int, d: Int): Array[Double] =
+    Array.tabulate(d)(i => Det.unit(Det.h(seed, plane.toLong, i.toLong)) * 2.0 - 1.0)
+
+  /** Sign-random-projection bit signature as an int bucket key
+    * (nPlanes <= 30). Pure column expression. */
+  def srpBucket(emb: Column, seed: Long, nPlanes: Int, d: Int): Column = {
+    val bits = (0 until nPlanes).map { p =>
+      val h = lit(hyperplane(seed, p, d))
+      val dot = aggregate(zip_with(emb, h, (x, y) => x.cast("double") * y),
+        lit(0.0), (acc, x) => acc + x)
+      when(dot >= 0, lit(1L << p)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** IVF/LSH-bucketed ANN: probe the query's bucket (plus optionally
+    * neighboring buckets at Hamming distance 1) and re-rank exactly.
+    * Recall < 1 by construction; `multiProbe` trades cost for recall. */
+  def lshTopK(
+      df: DataFrame, idCol: String, embCol: String, query: Array[Float],
+      k: Int, seed: Long = 42L, nPlanes: Int = 8,
+      multiProbe: Boolean = true): DataFrame = {
+    val d = query.length
+    val bucketed = df.select(col(idCol).as("id"), col(embCol).as("emb"),
+      srpBucket(col(embCol), seed, nPlanes, d).as("bucket"))
+    val qBucket = (0 until nPlanes).map { p =>
+      val dot = hyperplane(seed, p, d).zip(query).map { case (h, x) => h * x }.sum
+      if (dot >= 0) 1L << p else 0L
+    }.sum
+    val probes: Seq[Long] =
+      if (multiProbe) qBucket +: (0 until nPlanes).map(p => qBucket ^ (1L << p))
+      else Seq(qBucket)
+    bucketed.filter(col("bucket").isin(probes: _*))
+      .select(col("id"), round(cosineToQuery(col("emb"), query), 6).as("cos"))
+      .orderBy(col("cos").desc, col("id").asc)
+      .limit(k)
+  }
+
+  /** All-pairs cosine above a threshold via bucket join (candidates share
+    * an SRP bucket) + exact verification — the near-dup-by-embedding op. */
+  def cosinePairs(
+      df: DataFrame, idCol: String, embCol: String,
+      tau: Double, seed: Long = 42L, nPlanes: Int = 6, dim: Int = 64): DataFrame = {
+    val b = df.select(col(idCol).as("id"), col(embCol).as("emb"),
+      srpBucket(col(embCol), seed, nPlanes, dim).as("bucket"))
+    val dot = aggregate(
+      zip_with(col("a.emb"), col("b.emb"), (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+    def norm(c: Column) = sqrt(aggregate(
+      transform(c, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, x) => acc + x))
+    b.as("a").join(b.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .withColumn("cos", dot / (norm(col("a.emb")) * norm(col("b.emb"))))
+      .filter(col("cos") >= tau)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        round(col("cos"), 6).as("cos"))
+  }
+}

@@ -1,0 +1,157 @@
+package graft.ops
+
+import graft.util.Det
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+  *
+  * Scale notes (100 TB):
+  *  - exact dedup is one hash aggregate on the fingerprint — map-side
+  *    partial, no skew (md5 keys are uniform);
+  *  - the exact Jaccard self-join is the small-scale oracle baseline;
+  *    its scale path is minhash banding (candidates only) + exact
+  *    re-verification of candidates, plus a stop-shingle document-
+  *    frequency cap to kill quadratic blowup on boilerplate shingles;
+  *  - all hashes are deterministic (md5 / SplitMix64) — rerunning any
+  *    stage yields byte-identical outputs (idempotent writes).
+  */
+object DedupOps {
+
+  /** Word n-gram shingles from a token array column (distinct). */
+  def shingles(tokens: Column, n: Int): Column = {
+    val raw = when(size(tokens) < n, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(0), size(tokens) - n),
+        i => concat_ws(" ", slice(tokens, i + 1, lit(n)))))
+    array_distinct(raw)
+  }
+
+  /** Exact duplicate clusters: group by md5(text), keep min id as the
+    * cluster representative. Output one row per duplicated cluster. */
+  def exactClusters(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(col(textCol).cast("binary")).as("fp"))
+      .agg(count(lit(1)).as("cluster_size"), min(col(idCol)).as("keep_id"))
+      .filter(col("cluster_size") > 1)
+
+  /** Exact n-gram Jaccard similar pairs (id_a < id_b, jaccard >= tau).
+    * `maxShingleDf` drops shingles present in more than that many docs
+    * (stop-shingle cap — the scale knob; pass Int.MaxValue for exact). */
+  def jaccardPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int, tau: Double, maxShingleDf: Int = Int.MaxValue): DataFrame = {
+    val sh = df.select(col(idCol).as("id"),
+      explode(shingles(TextOps.tokens(col(textCol)), n)).as("s"))
+    val filtered =
+      if (maxShingleDf == Int.MaxValue) sh
+      else {
+        val hot = sh.groupBy("s").count().filter(col("count") > maxShingleDf)
+        sh.join(hot, Seq("s"), "left_anti")
+      }
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
+    val pairs = filtered.as("a")
+      .join(filtered.as("b"),
+        col("a.s") === col("b.s") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("common"))
+    pairs
+      .join(sizes.select(col("id").as("id_a"), col("n_sh").as("n_a")), "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("n_sh").as("n_b")), "id_b")
+      .withColumn("jaccard",
+        col("common").cast("double") /
+          (col("n_a") + col("n_b") - col("common")).cast("double"))
+      .filter(col("jaccard") >= tau)
+      .select(col("id_a"), col("id_b"), col("common"), col("n_a"), col("n_b"),
+        round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** MinHash signature as an array of k md5-hex minima over shingles.
+    * Hex-string min == min over a uniform 128-bit hash (lexicographic on
+    * hex == numeric), and md5 is portable across engines — so signatures
+    * are oracle-checkable. Empty shingle set → nulls. */
+  def minhashSignature(tokens: Column, n: Int, k: Int): Column = {
+    val sh = shingles(tokens, n)
+    val mins = (0 until k).map { seed =>
+      array_min(transform(sh, s => md5(concat(s, lit(s"#$seed")).cast("binary"))))
+    }
+    array(mins: _*)
+  }
+
+  /** LSH candidate pairs from minhash signatures: `bands` bands of
+    * `rowsPerBand` signature rows; docs sharing any full band are
+    * candidates. Returns distinct (id_a < id_b) candidate pairs. */
+  def minhashCandidates(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int, bands: Int, rowsPerBand: Int): DataFrame = {
+    val k = bands * rowsPerBand
+    val sig = df.select(col(idCol).as("id"),
+      minhashSignature(TextOps.tokens(col(textCol)), n, k).as("sig"))
+      .filter(col("sig").getItem(0).isNotNull) // docs with < n tokens have no shingles
+    val banded = sig.select(col("id"), posexplode(
+      transform(sequence(lit(0), lit(bands - 1)),
+        b => concat_ws("|", slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))
+      .toDF("id", "band", "key")
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+  }
+
+  /** MinHash-LSH near-dup pairs with exact Jaccard re-verification of
+    * the candidates — the 100 TB-shaped plan: candidates from banding
+    * (no quadratic join), verification only on the candidate set. */
+  def minhashNearDupPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int, tau: Double, bands: Int = 8, rowsPerBand: Int = 4): DataFrame = {
+    val cand = minhashCandidates(df, idCol, textCol, n, bands, rowsPerBand)
+    val exact = jaccardPairs(df, idCol, textCol, n, tau)
+    exact.join(cand, Seq("id_a", "id_b"), "left_semi")
+  }
+
+  // ------------------------------------------------------------- SimHash
+
+  /** 64-bit SimHash of a token sequence (deterministic SplitMix64 token
+    * hashes, per-bit majority vote). Pure Scala — used via typed
+    * Dataset.map / a deterministic UDF off the codegen hot path. */
+  def simhash64(tokens: Seq[String]): Long = {
+    val tally = new Array[Int](64)
+    tokens.foreach { t =>
+      val h = Det.hashStr(t)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) tally(b) += 1 else tally(b) -= 1
+        b += 1
+      }
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (tally(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  val simhashUdf = udf((toks: Seq[String]) => simhash64(toks))
+
+  /** SimHash near-dup pairs within a Hamming radius. Banding on 4×16-bit
+    * chunks: any pair within Hamming distance 3 shares at least one
+    * exact 16-bit chunk (pigeonhole) → equi-join candidates, then exact
+    * bit_count verification. No quadratic join. */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "4-band pigeonhole only covers radius 3")
+    val sigs = df.select(col(idCol).as("id"),
+      simhashUdf(TextOps.tokens(col(textCol))).as("sig"))
+    val chunks = sigs.select(col("id"), col("sig"), posexplode(array(
+      (0 until 4).map(i =>
+        shiftright(col("sig"), i * 16).bitwiseAND(lit(0xFFFFL))): _*)))
+      .toDF("id", "sig", "chunk_idx", "chunk")
+    chunks.as("a").join(chunks.as("b"),
+        col("a.chunk_idx") === col("b.chunk_idx") &&
+          col("a.chunk") === col("b.chunk") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+}

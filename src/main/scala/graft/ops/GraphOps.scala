@@ -1,0 +1,62 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Iterative graph queries on edge tables (reference: transitive INCLUDES
+  * closure, include_relation_provider.py:69-133 / J11-J12; iterative
+  * folder prune A9). Catalyst has no recursion — these are driver-side
+  * fixpoint loops of self-joins with lineage truncation, the same
+  * skeleton as canon.ConnectedComponents.
+  */
+object GraphOps {
+
+  /** All nodes reachable FROM the seed set following src→dst edges
+    * (seeds excluded unless reachable via a cycle). Frontier-based BFS:
+    * each round joins only the NEW frontier against the edge table. */
+  def reachable(edges: DataFrame, seeds: DataFrame, maxIter: Int = 100): DataFrame = {
+    val spark = edges.sparkSession
+    val e = edges.select(col("src"), col("dst")).distinct().localCheckpoint()
+    var visited = seeds.select(col("node")).distinct().localCheckpoint()
+    // nodes with an incoming path of length >= 1 from the seed set
+    var reached = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], visited.schema)
+    var frontier = visited
+    var i = 0
+    while (!frontier.isEmpty && i < maxIter) {
+      val step = e.join(frontier, e("src") === frontier("node"))
+        .select(e("dst").as("node")).distinct().localCheckpoint()
+      reached = reached.union(step).distinct().localCheckpoint()
+      val next = step.join(visited, Seq("node"), "left_anti").localCheckpoint()
+      visited = visited.union(next).localCheckpoint()
+      frontier = next
+      i += 1
+    }
+    require(i < maxIter, s"reachability did not converge in $maxIter rounds")
+    reached
+  }
+
+  /** Iterative empty-parent pruning (A9 analog): repeatedly drop nodes
+    * with no outgoing edge into the surviving set, to fixpoint. */
+  def pruneLeafless(
+      nodes: DataFrame, // (node)
+      edges: DataFrame, // (src, dst) — "contains" style
+      keep: DataFrame, // (node) leaves that justify their ancestors
+      maxIter: Int = 100): DataFrame = {
+    var surviving = nodes.select(col("node")).distinct().localCheckpoint()
+    var changed = true
+    var i = 0
+    while (changed && i < maxIter) {
+      val justified = edges
+        .join(surviving.withColumnRenamed("node", "dst"), Seq("dst"), "left_semi")
+        .select(col("src").as("node")).distinct()
+        .union(keep.select(col("node")))
+        .distinct()
+      val next = surviving.join(justified, Seq("node"), "left_semi").localCheckpoint()
+      changed = next.count() != surviving.count()
+      surviving = next
+      i += 1
+    }
+    surviving
+  }
+}

