@@ -1,24 +1,61 @@
 package graft
+
+import graft.pipeline.Pipeline
+import graft.synth.{Synth, SynthConfig}
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main (driver contract): times every SparkEntry query on
+  * SPARK_GRAFT_SF_DIR plus the KG pipeline end-to-end on the synthetic
+  * corpus, and prints ONE JSON line.
+  *
+  * Extra keys (kg_*) ride along for BENCH/BASELINE.md; the required
+  * driver keys (metric/value/unit/queries/sf) are unchanged.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val kgPages = sys.env.getOrElse("SPARK_GRAFT_KG_PAGES", "20000").toLong
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      .appName("graft-bench")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+
+    def time[T](body: => T): Double = {
+      val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    // KG pipeline end-to-end (docs/sec, triples/sec are the north-star
+    // metrics — BASELINE.json)
+    val cfg = SynthConfig(nPages = kgPages, nSites = 50,
+      nEntities = math.max(100, (kgPages / 100).toInt))
+    var kgTriples = 0L
+    val kgSecs = time {
+      val g = Pipeline.run(Synth.pages(spark, cfg), Synth.aliases(spark, cfg),
+        Synth.sameAs(spark, cfg), cfg.nPages)
+      kgTriples = g.triples.count()
+    }
+
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val secs = time {
+        try fn(spark, sfDir).count()
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1L
+        }
+      }
+      name -> secs
+    }
+    val qs = results.map { case (k, v) => f""""$k":$v%.3f""" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).sum + kgSecs
+    println(
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","""
+        + f""""kg_pages":${cfg.nPages},"kg_triples":$kgTriples,"kg_secs":$kgSecs%.3f,"""
+        + f""""kg_docs_per_sec":${cfg.nPages / kgSecs}%.1f,"kg_triples_per_sec":${kgTriples / kgSecs}%.1f,"cpus":"$cpus"}""")
     spark.stop()
   }
 }

@@ -49,9 +49,26 @@ object Mention {
       .map(a => aliasTokenCount(a.alias))
       .agg(max("value")).as[Int].head()
 
+    // Scale guard: a page with T tokens would otherwise materialize
+    // T*maxLen n-gram strings (60 GB+ of garbage per 10^8 pages). An
+    // n-gram can only match if its FIRST token starts some alias, so a
+    // broadcast first-token set prunes start positions before any
+    // string is built. Semantics unchanged.
+    val firstTokens: Set[String] = dict
+      .map(a => tokenize(a.alias).headOption.getOrElse(""))
+      .distinct().collect().toSet
+    val firstTokensB = spark.sparkContext.broadcast(firstTokens)
+
     val grams = extracted.flatMap { p =>
       val toks = tokenize(p.text)
-      ngrams(toks, maxLen).map { case (s, l, g) => (p.url, s, l, g) }
+      val ft = firstTokensB.value
+      Iterator.range(0, toks.length)
+        .filter(s => ft.contains(toks(s)))
+        .flatMap { s =>
+          Iterator.range(1, maxLen + 1)
+            .filter(l => s + l <= toks.length)
+            .map(l => (p.url, s, l, toks.slice(s, s + l).mkString(" ")))
+        }
     }.toDF("url", "tok_start", "tok_len", "surface")
 
     grams

@@ -89,6 +89,20 @@ object Snapshot {
     }
   }
 
+  /** Re-stamp a stage's manifest after an external (e.g. incremental)
+    * rewrite of its data dir — ≙ the reference's commit-hash stamp on
+    * PROJECT after an update (clangd_graph_rag_updater.py:79). */
+  def stamp(
+      spark: SparkSession,
+      baseDir: String,
+      stageName: String,
+      snapshotId: String,
+      version: String): Unit = {
+    val dir = s"$baseDir/$stageName"
+    val rows = spark.read.parquet(s"$dir/data").count()
+    writeManifest(dir, Manifest(snapshotId, version, rows, 0L))
+  }
+
   private def appendLineage(
       spark: SparkSession,
       baseDir: String,

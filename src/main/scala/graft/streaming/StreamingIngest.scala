@@ -1,0 +1,82 @@
+package graft.streaming
+
+import graft.extract.Extract
+import graft.model.{ExtractedPage, PageRow}
+import org.apache.spark.sql.{Dataset, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+
+/** Structured-Streaming facade over the batch pipeline.
+  *
+  * The reference is batch + git-commit-granularity incremental (SURVEY.md
+  * §2.8 — "no streaming required by reference semantics"); the faithful
+  * streaming analog is micro-batch over the input table:
+  * `Trigger.AvailableNow` + url-dedup keep-max-warc_ts as the late-data
+  * policy. Provided because a web-scale ingest naturally arrives as WARC
+  * drops: point the file source at the landing directory and each run
+  * drains exactly the available input, checkpointed, then stops —
+  * restart-safe by the sink's exactly-once file commit + the source's
+  * offset log.
+  */
+object StreamingIngest {
+
+  /** Drain all available page parquet under `inDir`; per micro-batch:
+    * url-dedup (keep max warc_ts), extract, append to `outDir`.
+    * Cross-batch duplicate urls are resolved at read time by the same
+    * keep-latest rule (dedupLatest is idempotent over appends). */
+  def drainAvailable(
+      spark: SparkSession,
+      inDir: String,
+      outDir: String,
+      checkpointDir: String): Unit = {
+    import spark.implicits._
+    val schema = spark.emptyDataset[PageRow].schema
+    val pages = spark.readStream.schema(schema).parquet(inDir).as[PageRow]
+    val q = pages.writeStream
+      .foreachBatch { (batch: Dataset[PageRow], _: Long) =>
+        Extract.run(batch).toDF()
+          .write.mode(SaveMode.Append).parquet(outDir)
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Read the streaming sink with cross-batch keep-latest semantics. */
+  def readLatest(spark: SparkSession, outDir: String): Dataset[ExtractedPage] = {
+    import spark.implicits._
+    spark.read.parquet(outDir)
+      .groupBy(col("url"))
+      .agg(max_by(struct(col("*")), struct(col("warc_ts"), col("text_sha256"))).as("r"))
+      .select(col("r.*")).as[ExtractedPage]
+  }
+
+  // ---------------------------------------------------- stateful operator
+
+  final case class SiteCount(site: String, n_pages: Long)
+
+  /** Running pages-per-site counter via mapGroupsWithState — the custom-
+    * state shape (KeyValueGroupedDataset) a streaming KG ingest uses for
+    * e.g. per-site crawl budgets. Update-mode, no timeout. */
+  def sitePageCounts(pages: Dataset[ExtractedPage]): Dataset[SiteCount] = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    pages.groupByKey(_.site)
+      .mapGroupsWithState[Long, SiteCount](GroupStateTimeout.NoTimeout) {
+        (site: String, rows: Iterator[ExtractedPage], state: GroupState[Long]) =>
+          val n = state.getOption.getOrElse(0L) + rows.size
+          state.update(n)
+          SiteCount(site, n)
+      }
+  }
+
+  /** Batch cross-check of the same aggregation (for tests). */
+  def sitePageCountsBatch(pages: Dataset[ExtractedPage]): Dataset[SiteCount] = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    pages.groupBy(col("site")).agg(count(lit(1)).as("n_pages"))
+      .as[SiteCount]
+  }
+}

@@ -18,7 +18,14 @@ final case class SynthConfig(
     seed: Long = 42L,
     nPages: Long = 1000L,
     nSites: Int = 10,
-    nEntities: Int = 100)
+    nEntities: Int = 100,
+    // Realism knobs for benchmarks. The DEFAULTS generate byte-identical
+    // pages to the original fixture corpus (golden hashes depend on it):
+    // fillerParas=0 adds nothing, mentionSlots=4 is the original modulus.
+    // Real Common-Crawl pages are tens of KB with dozens of mentions —
+    // benchmarks use e.g. fillerParas=30, mentionSlots=12.
+    fillerParas: Int = 0,
+    mentionSlots: Int = 4)
 
 object Synth {
   // Filler vocabulary and alias vocabulary are DISJOINT so fixture
@@ -99,7 +106,7 @@ object Synth {
   /** Entity ids deliberately mentioned on page i (Zipf-skewed; entity 0 is
     * the head entity that lands on ~20-30% of pages → salted-join fixture). */
   def mentionedEntities(cfg: SynthConfig, i: Long): Seq[Long] = {
-    val m = nonNeg(h(cfg.seed, i, 20), 4) // 0..3 mentions
+    val m = nonNeg(h(cfg.seed, i, 20), cfg.mentionSlots) // 0..slots-1 mentions
     (0 until m).map(j => zipf(h(cfg.seed, i, 21 + j), cfg.nEntities).toLong)
   }
 
@@ -134,6 +141,11 @@ object Synth {
       val k = 7L + 10L * nonNeg(h(s, i, 55), math.max(1, (cfg.nEntities.toInt - 8) / 10))
       if (k % 10 == 7 && k + 1 < cfg.nEntities)
         paras ++= s"<p>${fillerSpan(s, i, 56, 2)} ${AliasWords((k % W).toInt)} ${fillerSpan(s, i, 57, 2)}</p>\n"
+    }
+    // benchmark realism: extra pure-filler paragraphs (default 0 → the
+    // fixture corpus is byte-identical to the original golden-hashed one)
+    (0 until cfg.fillerParas).foreach { j =>
+      paras ++= s"<p>${fillerSpan(s, i, 300 + j, 90)}</p>\n"
     }
     val links = linkTargets(cfg, i)
       .map(u => s"""<a href="$u">${fillerSpan(s, i, 90, 2)}</a>""").mkString("\n")

@@ -1,0 +1,56 @@
+package graft.tools
+
+import graft.pipeline.Pipeline
+import graft.synth.{Synth, SynthConfig}
+import org.apache.spark.sql.SparkSession
+
+/** Scaling-efficiency evidence (north_rule: throughput efficiency >= 0.8
+  * from N to 4N executors; no cluster in this sandbox, so the same job
+  * runs at two local parallelism levels on IDENTICAL input —
+  * SURVEY.md §7.5).
+  *
+  *   runMain graft.tools.ScalingBench <cpus> <nPages>
+  *
+  * One JVM per parallelism level (spark.master is fixed per JVM);
+  * shuffle partitions scale with cores. Prints one JSON line.
+  */
+object ScalingBench {
+  def main(args: Array[String]): Unit = {
+    val cpus = args(0).toInt
+    val nPages = if (args.length > 1) args(1).toLong else 50000L
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName(s"graft-scaling-$cpus")
+      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // Realistic page shape (tens of KB, ~6 mentions/page) — see
+    // SynthConfig scaladoc; the fixture defaults are unrealistically
+    // light and make the job overhead-bound instead of extract-bound.
+    val cfg = SynthConfig(nPages = nPages, nSites = 50, nEntities = 1000,
+      fillerParas = 30, mentionSlots = 12)
+
+    // warm-up: JIT + codegen compile out of the measured window
+    // (both parallelism levels get the same treatment)
+    val warm = Pipeline.run(
+      Synth.pages(spark, cfg.copy(nPages = 1000L)),
+      Synth.aliases(spark, cfg), Synth.sameAs(spark, cfg), 1000L)
+    warm.triples.count()
+
+    val trials = (1 to 2).map { _ =>
+      val t0 = System.nanoTime()
+      val g = Pipeline.run(Synth.pages(spark, cfg), Synth.aliases(spark, cfg),
+        Synth.sameAs(spark, cfg), cfg.nPages)
+      val triples = g.triples.count()
+      (System.nanoTime() - t0) / 1e9 -> triples
+    }
+    val (secs, triples) = trials.minBy(_._1)
+    println(f"""{"bench":"scaling","cpus":$cpus,"pages":$nPages,""" +
+      f""""triples":$triples,"secs":$secs%.2f,""" +
+      f""""docs_per_sec":${nPages / secs}%.1f,"triples_per_sec":${triples / secs}%.1f}""")
+    spark.stop()
+  }
+}

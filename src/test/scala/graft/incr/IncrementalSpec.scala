@@ -1,0 +1,92 @@
+package graft.incr
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import graft.SparkSpec
+import graft.model.PageRow
+import graft.pipeline.Pipeline
+import graft.synth.{Synth, SynthConfig}
+import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.functions._
+
+/** Incremental update must converge to exactly what a fresh full build
+  * of the new snapshot produces (the reference's updater contract —
+  * purge stale + rebuild dirty ≡ rebuild all, SURVEY.md §3.2).
+  */
+class IncrementalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val cfg = SynthConfig(nPages = 120L, nSites = 5, nEntities = 40)
+  private val N = 4 // buckets
+
+  private def oldPages: Dataset[PageRow] = Synth.pages(spark, cfg)
+
+  /** New snapshot: 3 changed pages, 2 added, 1 deleted. */
+  private def newPages: Dataset[PageRow] = {
+    val changedIds = Set(5L, 17L, 42L)
+    val base = oldPages
+      .filter(!col("url").endsWith("/p/7")) // delete page 7
+      .map { p =>
+        if (changedIds.exists(i => p.url.endsWith(s"/p/$i")))
+          p.copy(
+            warc_ts = new Timestamp(p.warc_ts.getTime + 7200000L),
+            html = (new String(p.html, "UTF-8")
+              .replace("</body>", "<p>fresh content acme globex</p></body>"))
+              .getBytes("UTF-8"))
+        else p
+      }
+    val added = spark.createDataset(Seq(200L, 201L).flatMap(i =>
+      Synth.pageRows(cfg.copy(nPages = 250L), i)))
+    base.union(added)
+  }
+
+  test("diff classifies added/deleted/changed/unchanged") {
+    val d = Incremental.diff(oldPages, newPages)
+      .groupBy("status").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    d("added") shouldBe 2L
+    d("deleted") shouldBe 1L
+    d("changed") shouldBe 3L
+    d("unchanged") shouldBe (120L - 1 - 3)
+  }
+
+  test("incremental update == fresh full build of the new snapshot") {
+    val incDir = Files.createTempDirectory("graft-inc").toString
+    val fullDir = Files.createTempDirectory("graft-full").toString
+
+    // full build of OLD snapshot, then incremental to NEW
+    Pipeline.build(spark, oldPages, Synth.aliases(spark, cfg),
+      Synth.sameAs(spark, cfg), cfg.nPages, incDir, "snap-old", N)
+    val dirty = Incremental.update(spark, oldPages, newPages,
+      Synth.aliases(spark, cfg), Synth.sameAs(spark, cfg), cfg.nPages,
+      incDir, "snap-new", N)
+    dirty should not be empty
+    dirty.size should be < N.toLong.toInt + 1 // sanity: subset of buckets
+
+    // fresh full build of NEW snapshot
+    Pipeline.build(spark, newPages, Synth.aliases(spark, cfg),
+      Synth.sameAs(spark, cfg), cfg.nPages, fullDir, "snap-new", N)
+
+    def triplesOf(dir: String) = spark.read.parquet(s"$dir/triples/data")
+      .select("subj", "pred", "obj").collect().map(_.toSeq).toSet
+    def nodesOf(dir: String) = spark.read.parquet(s"$dir/nodes/data")
+      .select("node_id", "label").collect().map(_.toSeq).toSet
+
+    triplesOf(incDir) shouldBe triplesOf(fullDir)
+    nodesOf(incDir) shouldBe nodesOf(fullDir)
+
+    // deleted page really gone; changed page's new mention present
+    val t = triplesOf(incDir)
+    t.exists(r => r.head.toString.endsWith("/p/7")) shouldBe false
+
+    // manifests stamped with the new snapshot id
+    graft.meta.Snapshot.readManifest(s"$incDir/extracted").get.snapshotId shouldBe "snap-new"
+    graft.meta.Snapshot.readManifest(s"$incDir/triples").get.snapshotId shouldBe "snap-new"
+  }
+
+  test("no-op update (identical snapshots) touches nothing") {
+    val d = Incremental.diff(oldPages, oldPages)
+    Incremental.dirtyBuckets(d, N) shouldBe empty
+  }
+}
