@@ -31,8 +31,10 @@ object Bench {
 
     // KG pipeline end-to-end (docs/sec, triples/sec are the north-star
     // metrics — BASELINE.json)
-    val cfg = SynthConfig(nPages = kgPages, nSites = 50,
-      nEntities = math.max(100, (kgPages / 100).toInt))
+    // realistic page shape (tens of KB, ~6 mentions/page) — matches
+    // ScalingBench so docs/sec is comparable across BENCH/BASELINE.md
+    val cfg = SynthConfig(nPages = kgPages, nSites = 50, nEntities = 1000,
+      fillerParas = 30, mentionSlots = 12)
     var kgTriples = 0L
     val kgSecs = time {
       val g = Pipeline.run(Synth.pages(spark, cfg), Synth.aliases(spark, cfg),

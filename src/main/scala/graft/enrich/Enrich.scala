@@ -1,0 +1,128 @@
+package graft.enrich
+
+import graft.model.ExtractedPage
+import graft.util.Det
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Deterministic enrichment stage — the generalized shape of the
+  * reference's RAG pass 7 (code_graph_rag_generator.py:67-76) with its
+  * FAKE clients: summaries use the reference's own constant string
+  * (llm_client.py:97-99 — "the fake client is the reference's
+  * determinism switch", SURVEY.md §2.9), embeddings use a seeded
+  * hash→vector stand-in for all-MiniLM-L6-v2 (384-dim, llm_client.py:138).
+  *
+  * What is preserved is the DATAFLOW: per-leaf summary → neighbor
+  * context join (J9) → bottom-up hierarchical roll-up by depth
+  * (A11/A12, code_graph_rag_generator.py:350-445) → embedding column.
+  * Swap the traits for real clients in production; the plan shapes and
+  * tests stay valid.
+  */
+object Enrich {
+
+  /** The reference's fake-LLM constant (llm_client.py:97-99). */
+  val FakeSummary = "This part implements important functionalities."
+
+  trait Summarizer extends Serializable {
+    def summarize(context: String): String
+  }
+  object FakeSummarizer extends Summarizer {
+    override def summarize(context: String): String = FakeSummary
+  }
+
+  trait Embedder extends Serializable {
+    def dim: Int
+    def embed(text: String): Array[Float]
+  }
+  /** Seeded, unit-normalized pseudo-embedding (deterministic). */
+  final class FakeEmbedder(val dim: Int = 384, seed: Long = 42L) extends Embedder {
+    override def embed(text: String): Array[Float] = {
+      val base = Det.h(seed, Det.hashStr(text))
+      val raw = Array.tabulate(dim)(i => Det.unit(Det.h(base, i.toLong)) * 2.0 - 1.0)
+      val norm = math.sqrt(raw.map(x => x * x).sum)
+      raw.map(x => (x / norm).toFloat)
+    }
+  }
+
+  /** Leaf summaries + embeddings per page (pass 7 sub-pass 1 analog). */
+  def pageSummaries(
+      extracted: Dataset[ExtractedPage],
+      summarizer: Summarizer = FakeSummarizer,
+      embedder: Embedder = new FakeEmbedder()): DataFrame = {
+    val spark = extracted.sparkSession
+    import spark.implicits._
+    extracted.map { p =>
+      val s = summarizer.summarize(p.text)
+      (p.url, p.site, s, embedder.embed(s))
+    }.toDF("url", "site", "summary", "summaryEmbedding")
+  }
+
+  /** Neighbor-context join (J9 analog: OPTIONAL MATCH both directions +
+    * collect DISTINCT, code_graph_rag_generator.py:281-289): for each
+    * page, the sorted distinct summaries of link-neighbors in either
+    * direction. array_sort makes the output order-insensitive. */
+  def contextSummaries(linksTo: DataFrame, pageSums: DataFrame): DataFrame = {
+    val out = linksTo.select(col("subj").as("url"), col("obj").as("nbr"))
+    val in = linksTo.select(col("obj").as("url"), col("subj").as("nbr"))
+    val nbrs = out.union(in)
+      .join(pageSums.select(col("url").as("nbr"), col("summary")), Seq("nbr"))
+      .groupBy("url")
+      .agg(array_sort(collect_set(col("summary"))).as("neighborSummaries"))
+    pageSums.select(col("url"), col("summary"))
+      .join(nbrs, Seq("url"), "left")
+      .select(col("url"), col("summary"),
+        coalesce(col("neighborSummaries"),
+          array().cast("array<string>")).as("neighborSummaries"))
+  }
+
+  /** Bottom-up hierarchical roll-up (A11+A12 analog): nodes are url-path
+    * prefixes (site / site/p / ... / page); each level's summary is a
+    * deterministic function of its children's sorted summaries,
+    * processed deepest-first in a driver loop over depth — the Spark
+    * shape of the reference's group-by-depth folder pass
+    * (code_graph_rag_generator.py:392-423). Returns (node, depth,
+    * summary). */
+  def hierarchyRollup(
+      leaves: DataFrame, // (node, parent, summary); parent = an internal node
+      internal: DataFrame, // (node, parent, depth) internal nodes; root parent = null
+      summarizer: Summarizer = FakeSummarizer): DataFrame = {
+    val s = summarizer
+    val sumUdf = udf((children: Seq[String]) =>
+      s.summarize(children.mkString("|")) + s" [${children.size} children]")
+    val maxDepth = internal.agg(max(col("depth"))).head().getInt(0)
+    var acc = leaves.select(col("node"), col("parent"), col("summary"))
+    var out: Seq[DataFrame] = Nil
+    (maxDepth to 0 by -1).foreach { d =>
+      val level = internal.filter(col("depth") === d)
+        .select(col("node").as("lnode"), col("parent").as("lparent"))
+      val rolled = acc.join(level, acc("parent") === level("lnode"))
+        .groupBy(col("lnode"), col("lparent"))
+        .agg(sumUdf(array_sort(collect_list(col("summary")))).as("summary"))
+        .select(col("lnode").as("node"), col("lparent").as("parent"),
+          col("summary"))
+      out = out :+ rolled.withColumn("depth", lit(d))
+      acc = acc.union(rolled).localCheckpoint()
+    }
+    out.reduce(_ union _).select("node", "depth", "summary")
+  }
+
+  /** Url-path hierarchy for the roll-up: leaf = page url under parent
+    * "host/p"; internal = "host/p" (depth 1) under "host" (depth 0).
+    * ≙ ancestor-folder derivation A3 feeding the A11 depth loop. */
+  def urlHierarchy(pageSums: DataFrame): (DataFrame, DataFrame) = {
+    val stripped = pageSums
+      .withColumn("path", regexp_replace(col("url"), "^[a-z]+://", ""))
+    val leaves = stripped.select(col("url").as("node"),
+      regexp_extract(col("path"), "^([^/]+/[^/]+)", 1).as("parent"),
+      col("summary"))
+    val internal = stripped.select(
+        regexp_extract(col("path"), "^([^/]+/[^/]+)", 1).as("node"),
+        regexp_extract(col("path"), "^([^/]+)", 1).as("parent"),
+        lit(1).as("depth"))
+      .union(stripped.select(
+        regexp_extract(col("path"), "^([^/]+)", 1).as("node"),
+        lit(null).cast("string").as("parent"), lit(0).as("depth")))
+      .distinct()
+    (leaves, internal)
+  }
+}

@@ -37,22 +37,37 @@ object Extract {
     siteRe.findFirstMatchIn(url).map(_.group(1)).getOrElse(url)
 
   /** Pure per-row extraction — a typed Dataset.map over a deterministic
-    * Scala function; never a SQL UDF, never `asNondeterministic`. */
-  def extractOne(p: PageRow): ExtractedPage = {
-    val text = HtmlText.extract(p.html)
+    * Scala function; never a SQL UDF, never `asNondeterministic`.
+    * The strategy is pluggable (TextExtractor, §2.9 analog). */
+  def extractOne(p: PageRow, extractor: TextExtractor = HtmlTextExtractor): ExtractedPage = {
+    val text = extractor.extractText(p.html)
     ExtractedPage(
       url = p.url,
       site = site(p.url),
       warc_ts = p.warc_ts,
       text = text,
       lang = p.lang,
-      links = HtmlText.extractLinks(p.html),
+      links = extractor.extractLinks(p.html),
       text_sha256 = HtmlText.sha256Hex(text))
   }
 
-  def run(pages: Dataset[PageRow]): Dataset[ExtractedPage] = {
+  /** Extract FIRST (pure map over input splits — the html payload never
+    * crosses a shuffle), then url-dedup on the much smaller extracted
+    * rows. Duplicate urls are ~2% of a crawl, so the surplus extraction
+    * is cheap; shuffling multi-KB html bodies is not. Keep-latest
+    * tie-break: max (warc_ts, text_sha256) — total order, deterministic
+    * under any parallelism. */
+  def run(
+      pages: Dataset[PageRow],
+      extractor: TextExtractor = HtmlTextExtractor): Dataset[ExtractedPage] = {
     val spark = pages.sparkSession
     import spark.implicits._
-    dedupLatest(pages).map(extractOne _)
+    pages.map(p => extractOne(p, extractor))
+      .groupBy($"url")
+      .agg(max_by(
+        struct($"url", $"site", $"warc_ts", $"text", $"lang", $"links", $"text_sha256"),
+        struct($"warc_ts", $"text_sha256")).as("r"))
+      .select($"r.*")
+      .as[ExtractedPage]
   }
 }

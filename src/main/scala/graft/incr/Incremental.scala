@@ -33,10 +33,15 @@ object Incremental {
   /** Snapshot diff on url: added / deleted / changed / unchanged,
     * comparing the (deduped) html payload hash. */
   def diff(oldPages: Dataset[PageRow], newPages: Dataset[PageRow]): DataFrame = {
-    val o = Extract.dedupLatest(oldPages).toDF()
-      .select(col("url"), xxhash64(col("html")).as("old_h"))
-    val n = Extract.dedupLatest(newPages).toDF()
-      .select(col("url"), xxhash64(col("html")).as("new_h"))
+    // per-url winning html hash without shuffling html bodies: map-side
+    // partial max_by moves only (url, ts, hash) tuples across the wire
+    def urlHash(p: Dataset[PageRow], out: String): DataFrame =
+      p.toDF()
+        .select(col("url"), col("warc_ts"), xxhash64(col("html")).as("h"))
+        .groupBy(col("url"))
+        .agg(max_by(col("h"), struct(col("warc_ts"), col("h"))).as(out))
+    val o = urlHash(oldPages, "old_h")
+    val n = urlHash(newPages, "new_h")
     o.join(n, Seq("url"), "full_outer")
       .select(col("url"),
         when(col("old_h").isNull, lit("added"))
@@ -73,10 +78,8 @@ object Incremental {
 
     // rebuild the FULL dirty buckets from the new snapshot (a bucket is
     // the overwrite unit; urls deleted from the snapshot vanish with it)
-    val dirtySet = dirty.toSet
     val inDirty = Pipeline.bucketOf(col("url"), nBuckets).isin(dirty: _*)
-    val pagesDirty = Extract.dedupLatest(newPages).toDF()
-      .filter(inDirty).as[PageRow]
+    val pagesDirty = newPages.filter(inDirty) // Extract.run dedups by url
 
     val extractedDirty = Extract.run(pagesDirty).toDF()
       .withColumn("bucket", Pipeline.bucketOf(col("url"), nBuckets))

@@ -65,17 +65,19 @@ object DedupOps {
         round(col("jaccard"), 6).as("jaccard"))
   }
 
-  /** MinHash signature as an array of k md5-hex minima over shingles.
-    * Hex-string min == min over a uniform 128-bit hash (lexicographic on
-    * hex == numeric), and md5 is portable across engines — so signatures
-    * are oracle-checkable. Empty shingle set → nulls. */
-  def minhashSignature(tokens: Column, n: Int, k: Int): Column = {
-    val sh = shingles(tokens, n)
-    val mins = (0 until k).map { seed =>
+  /** MinHash signature (k md5-hex minima) from an ALREADY-MATERIALIZED
+    * shingle-array column. Hex-string min == min over a uniform 128-bit
+    * hash (lexicographic on hex == numeric), and md5 is portable across
+    * engines — so signatures are oracle-checkable.
+    *
+    * Callers must bind the shingle expression to its own projection
+    * first: referencing `shingles(...)` inline k times re-evaluates the
+    * whole higher-order-function tree k times per row (no CSE across
+    * lambda trees) — measured 6× slowdown at sf0.1. */
+  def minhashSigFromShingles(sh: Column, k: Int): Column =
+    array((0 until k).map { seed =>
       array_min(transform(sh, s => md5(concat(s, lit(s"#$seed")).cast("binary"))))
-    }
-    array(mins: _*)
-  }
+    }: _*)
 
   /** LSH candidate pairs from minhash signatures: `bands` bands of
     * `rowsPerBand` signature rows; docs sharing any full band are
@@ -84,9 +86,10 @@ object DedupOps {
       df: DataFrame, idCol: String, textCol: String,
       n: Int, bands: Int, rowsPerBand: Int): DataFrame = {
     val k = bands * rowsPerBand
-    val sig = df.select(col(idCol).as("id"),
-      minhashSignature(TextOps.tokens(col(textCol)), n, k).as("sig"))
-      .filter(col("sig").getItem(0).isNotNull) // docs with < n tokens have no shingles
+    val withSh = df.select(col(idCol).as("id"),
+        shingles(TextOps.tokens(col(textCol)), n).as("sh"))
+      .filter(size(col("sh")) > 0) // docs with < n tokens have no shingles
+    val sig = withSh.select(col("id"), minhashSigFromShingles(col("sh"), k).as("sig"))
     val banded = sig.select(col("id"), posexplode(
       transform(sequence(lit(0), lit(bands - 1)),
         b => concat_ws("|", slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))

@@ -24,8 +24,8 @@ object PhaseBench {
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
 
-    val cfg = SynthConfig(nPages = nPages, nSites = 50,
-      nEntities = math.max(100, (nPages / 100).toInt))
+    val cfg = SynthConfig(nPages = nPages, nSites = 50, nEntities = 1000,
+      fillerParas = 30, mentionSlots = 12) // match ScalingBench
     def t[T](name: String)(body: => T): T = {
       val t0 = System.nanoTime(); val r = body
       println(f"[phase] $name ${(System.nanoTime() - t0) / 1e9}%.2f s"); r

@@ -24,6 +24,10 @@ object ScalingBench {
       .config("spark.sql.shuffle.partitions", cpus.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // Shuffle spill to tmpfs: locally both parallelism levels share ONE
+      // disk, which a real N-node vs 4N-node cluster does not — spilling
+      // to RAM removes that shared-device artifact from the comparison.
+      .config("spark.local.dir", "/dev/shm/graft-spark")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -40,7 +44,7 @@ object ScalingBench {
       Synth.aliases(spark, cfg), Synth.sameAs(spark, cfg), 1000L)
     warm.triples.count()
 
-    val trials = (1 to 2).map { _ =>
+    val trials = (1 to 3).map { _ =>
       val t0 = System.nanoTime()
       val g = Pipeline.run(Synth.pages(spark, cfg), Synth.aliases(spark, cfg),
         Synth.sameAs(spark, cfg), cfg.nPages)

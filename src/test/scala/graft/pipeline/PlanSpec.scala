@@ -1,0 +1,71 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import graft.mention.Mention
+import graft.ops.{AnnOps, TextOps}
+import graft.synth.{Synth, SynthConfig}
+import org.apache.spark.sql.functions._
+
+/** Physical-plan assertions — the ".explain and iterate" review frozen
+  * as tests, so a regression in join strategy / pushdown / codegen
+  * fails CI instead of silently costing a cluster.
+  */
+class PlanSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("mention candidate join is a BroadcastHashJoin (no shuffle of the gram stream)") {
+    val cfg = SynthConfig(nPages = 50L)
+    val cands = Mention.detect(
+      graft.extract.Extract.run(Synth.pages(spark, cfg)),
+      Synth.aliases(spark, cfg))
+    val p = plan(cands.toDF())
+    p should include("BroadcastHashJoin")
+    p should not include "SortMergeJoin"
+  }
+
+  test("filter + projection push down to the parquet scan") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .filter($"l_quantity" > 30.0)
+      .select($"l_orderkey", $"l_quantity")
+    val p = plan(li)
+    p should include("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,30.0)]")
+    // column pruning: the scan must read exactly the two needed columns
+    p should include("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>")
+  }
+
+  test("brute-force cosine top-k compiles to TakeOrderedAndProject, not a global Sort") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val q = emb.filter($"vec_id" === 0).head().getAs[Seq[Float]]("embedding").toArray
+    val p = plan(AnnOps.bruteForceTopK(emb, "vec_id", "embedding", q, 10))
+    p should include("TakeOrderedAndProject")
+  }
+
+  test("small-dim enrichment join broadcasts (q05 shape)") {
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+    val cust = spark.read.parquet(s"$sf/customer.parquet")
+    val j = orders.join(broadcast(cust), $"o_custkey" === $"c_custkey", "left")
+    plan(j) should include("BroadcastHashJoin")
+  }
+
+  test("text quality features stay inside WholeStageCodegen (no UDF break)") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val q = TextOps.qualityFeatures($"text")
+    val df = docs.select(col("doc_id") +: q.map { case (n, c) => c.as(n) }: _*)
+    val p = plan(df)
+    // '*(n)' prefixes mark WholeStageCodegen stages in the plan string
+    p should include("*(1) Project")
+    p should not include "BatchEvalPython"
+  }
+
+  test("url-dedup aggregates partially before the exchange (map-side combine)") {
+    val cfg = SynthConfig(nPages = 50L)
+    val p = plan(graft.extract.Extract.run(Synth.pages(spark, cfg)).toDF())
+    // partial_max_by before the shuffle, final after — two HashAggregates
+    p.split("Exchange").head should include("max_by")
+  }
+}
