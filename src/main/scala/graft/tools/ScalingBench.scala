@@ -37,16 +37,25 @@ object ScalingBench {
     val cfg = SynthConfig(nPages = nPages, nSites = 50, nEntities = 1000,
       fillerParas = 30, mentionSlots = 12)
 
+    // The north rule's input is a TABLE of web pages, not a generator —
+    // materialize the corpus to parquet once (unmeasured; shared across
+    // parallelism levels) and measure the pipeline reading it.
+    import spark.implicits._
+    val inputDir = s"/dev/shm/graft-bench-input-$nPages"
+    if (!new java.io.File(s"$inputDir/_SUCCESS").exists())
+      Synth.pages(spark, cfg).write.mode("overwrite").parquet(inputDir)
+    def readPages() = spark.read.parquet(inputDir).as[graft.model.PageRow]
+
     // warm-up: JIT + codegen compile out of the measured window
     // (both parallelism levels get the same treatment)
     val warm = Pipeline.run(
-      Synth.pages(spark, cfg.copy(nPages = 1000L)),
+      readPages().limit(1000),
       Synth.aliases(spark, cfg), Synth.sameAs(spark, cfg), 1000L)
     warm.triples.count()
 
     val trials = (1 to 3).map { _ =>
       val t0 = System.nanoTime()
-      val g = Pipeline.run(Synth.pages(spark, cfg), Synth.aliases(spark, cfg),
+      val g = Pipeline.run(readPages(), Synth.aliases(spark, cfg),
         Synth.sameAs(spark, cfg), cfg.nPages)
       val triples = g.triples.count()
       (System.nanoTime() - t0) / 1e9 -> triples
