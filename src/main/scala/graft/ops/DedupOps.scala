@@ -74,10 +74,21 @@ object DedupOps {
     * first: referencing `shingles(...)` inline k times re-evaluates the
     * whole higher-order-function tree k times per row (no CSE across
     * lambda trees) — measured 6× slowdown at sf0.1. */
-  def minhashSigFromShingles(sh: Column, k: Int): Column =
-    array((0 until k).map { seed =>
-      array_min(transform(sh, s => md5(concat(s, lit(s"#$seed")).cast("binary"))))
-    }: _*)
+  def minhashSigFromShingles(sh: Column, k: Int): Column = {
+    // one fold over the shingles with a k-slot running-minimum array —
+    // a single pass allocates no per-seed intermediate arrays (the
+    // naive k × array_min(transform(...)) shape walks the shingle list
+    // k extra times). "g" sorts above every md5 hex digit, so it is a
+    // safe +infinity for the lexicographic min; callers filter empty
+    // shingle sets before use.
+    val seeds = sequence(lit(0), lit(k - 1))
+    aggregate(
+      sh,
+      array_repeat(lit("g"), k),
+      (acc, s) => zip_with(acc,
+        transform(seeds, i => md5(concat(s, lit("#"), i.cast("string")).cast("binary"))),
+        (a, b) => least(a, b)))
+  }
 
   /** LSH candidate pairs from minhash signatures: `bands` bands of
     * `rowsPerBand` signature rows; docs sharing any full band are
