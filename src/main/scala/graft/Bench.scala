@@ -42,12 +42,19 @@ object Bench {
     if (!new java.io.File(s"$inputDir/_SUCCESS").exists())
       Synth.pages(spark, cfg).write.mode("overwrite").parquet(inputDir)
     var kgTriples = 0L
-    val kgSecs = time {
+    def kgOnce(): Double = time {
       val g = Pipeline.run(
         spark.read.parquet(inputDir).as[graft.model.PageRow],
         Synth.aliases(spark, cfg), Synth.sameAs(spark, cfg), cfg.nPages)
       kgTriples = g.triples.count()
+      g.unpersist()
     }
+    // Warm-up + min-of-3: the first Spark jobs in a JVM pay JIT + codegen
+    // compile, which is harness overhead, not engine throughput (same
+    // protocol as tools/ScalingBench). Round-1 reported the cold run and
+    // under-stated docs/sec by ~10x.
+    kgOnce()
+    val kgSecs = (1 to 3).map(_ => kgOnce()).min
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val secs = time {

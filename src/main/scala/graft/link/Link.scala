@@ -2,7 +2,7 @@ package graft.link
 
 import graft.model.{CandidateRow, LinkedMention}
 import graft.util.SaltedJoin
-import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 /** Stage 3: entity-link scoring + per-mention argmax.
@@ -17,42 +17,70 @@ import org.apache.spark.sql.functions._
   *   support(url,entity) = #candidate rows on that url for that entity
   *   score = prior * idf(alias) + 0.01 * support(url, entity)
   * Winner per mention (url, tok_start, tok_len): max score, ties broken
-  * by LOWEST entity_id (FIXTURES.md §2.2) — implemented as a single
-  * max_by on struct(score, -entity_id), order-insensitive under any
+  * by LOWEST entity_id (FIXTURES.md §2.2) — order-insensitive under any
   * partitioning (SURVEY.md §7.4 determinism).
+  *
+  * Execution shape (one shuffle of the candidate stream): the alias
+  * document-frequency table is dictionary-sized (bounded by the alias
+  * dict that was already broadcast in Mention), so it is aggregated with
+  * salting, collected and broadcast as a map; support and the per-mention
+  * argmax are both url-local, so a single groupByKey(url) computes them
+  * in one pass per page. The previous DataFrame shape shuffled the
+  * candidate stream three times (support agg, support join, argmax agg).
   */
 object Link {
 
-  def resolve(cands: Dataset[CandidateRow], nPages: Long): Dataset[LinkedMention] = {
-    val spark = cands.sparkSession
-    import spark.implicits._
-    val c = cands.toDF()
-
-    // Alias document frequency. The head alias appears on 20%+ of pages —
-    // the salted two-phase aggregate keeps that key off a single reducer.
-    val df = SaltedJoin
-      .saltedCount(c.select($"url", $"alias").distinct(), "alias", $"url")
+  /** Per-alias document frequency: #distinct urls containing the alias.
+    * Output is dictionary-sized. The head alias appears on 20%+ of pages —
+    * the salted two-phase aggregate keeps that key off a single reducer. */
+  def aliasDf(cands: DataFrame): DataFrame =
+    SaltedJoin
+      .saltedCount(cands.select(col("url"), col("alias")).distinct(), "alias", col("url"))
       .withColumnRenamed("count", "alias_df")
 
-    // Per-page entity support (url spreads the key space; no salt needed).
-    val support = c.groupBy($"url", $"entity_id")
-      .agg(count(lit(1)).as("support"))
+  /** @param precomputedDf optional (alias, alias_df) table to use instead
+    *        of deriving df from `cands` — the incremental updater passes
+    *        the globally-maintained df here so dirty-bucket relinks score
+    *        against corpus-wide document frequencies, not dirty-scope
+    *        ones (incremental ≡ full-rebuild contract). Must cover every
+    *        alias present in `cands`. */
+  def resolve(
+      cands: Dataset[CandidateRow],
+      nPages: Long,
+      precomputedDf: Option[DataFrame] = None): Dataset[LinkedMention] = {
+    val spark = cands.sparkSession
+    import spark.implicits._
 
-    val scored = c
-      .join(broadcast(df), "alias") // dictionary-sized: broadcast
-      .join(support, Seq("url", "entity_id"))
-      .withColumn("score",
-        $"prior" * log(lit(1.0) + lit(nPages.toDouble) / $"alias_df") +
-          lit(0.01) * $"support")
+    val dfTable = precomputedDf.getOrElse(aliasDf(cands.toDF()))
+    // dictionary-sized by construction: safe to collect + broadcast
+    val dfMap: Map[String, Long] = dfTable.select(col("alias"), col("alias_df"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val dfB = spark.sparkContext.broadcast(dfMap)
+    val n = nPages.toDouble
 
-    scored
-      .groupBy($"url", $"tok_start", $"tok_len")
-      .agg(max_by(
-        struct($"alias", $"entity_id", $"score"),
-        struct($"score", -$"entity_id")).as("w"))
-      .select($"url", $"tok_start", $"tok_len",
-        $"w.alias".as("alias"), $"w.entity_id".as("entity_id"),
-        $"w.score".as("score"))
-      .as[LinkedMention]
+    cands.groupByKey(_.url).flatMapGroups { (url, it) =>
+      val rows = it.toArray
+      val m = dfB.value
+      // per-page entity support
+      val support = new scala.collection.mutable.HashMap[Long, Int]()
+      rows.foreach(c => support.update(c.entity_id,
+        support.getOrElse(c.entity_id, 0) + 1))
+      // per-mention argmax (score, then lowest entity_id) — same total
+      // order as max_by(struct(score, -entity_id))
+      rows.groupBy(c => (c.tok_start, c.tok_len)).iterator.map {
+        case ((s, l), cs) =>
+          var best: CandidateRow = null
+          var bestScore = Double.NegativeInfinity
+          cs.foreach { c =>
+            val sc = c.prior * math.log(1.0 + n / m(c.alias)) +
+              0.01 * support(c.entity_id)
+            if (best == null || sc > bestScore ||
+              (sc == bestScore && c.entity_id < best.entity_id)) {
+              best = c; bestScore = sc
+            }
+          }
+          LinkedMention(url, s, l, best.alias, best.entity_id, bestScore)
+      }
+    }
   }
 }

@@ -9,6 +9,7 @@ import graft.meta.Snapshot
 import graft.model._
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** End-to-end KG construction (the Spark shape of the reference's
   * GraphBuilder.build, clangd_graph_rag_builder.py:48-76):
@@ -28,8 +29,20 @@ object Pipeline {
       canon: Dataset[CanonRow],
       triples: Dataset[TripleRow],
       nodes: Dataset[NodeRow],
-      adjacency: Dataset[AdjacencyRow])
+      adjacency: Dataset[AdjacencyRow]) {
+    /** Release the intermediate caches `run` installed. */
+    def unpersist(): Unit = {
+      extracted.unpersist()
+      linked.unpersist()
+      canon.unpersist()
+    }
+  }
 
+  /** In-memory dataflow. `extracted`, `linked` and `canon` are persisted
+    * (MEMORY_AND_DISK): triples fans out into 4 branches and nodes /
+    * adjacency re-consume them, so without a cache one action re-extracts
+    * every page up to 4× (extraction dominates cost at any scale). Call
+    * `Graph.unpersist()` when done. */
   def run(
       pages: Dataset[PageRow],
       aliases: Dataset[AliasRow],
@@ -38,11 +51,12 @@ object Pipeline {
     val spark = pages.sparkSession
     import spark.implicits._
 
-    val extracted = Extract.run(pages)
+    val extracted = Extract.run(pages).persist(StorageLevel.MEMORY_AND_DISK)
     val cands = Mention.detect(extracted, aliases)
-    val linked = Link.resolve(cands, nPages)
+    val linked = Link.resolve(cands, nPages).persist(StorageLevel.MEMORY_AND_DISK)
     val entities = aliases.map(a => java.lang.Long.valueOf(a.entity_id)).distinct()
     val canon = ConnectedComponents.canonMap(entities, sameas)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val triples = Emit.triples(extracted, linked, canon)
     val nodesAll = Emit.nodes(extracted, triples)
     val nodes = Emit.dropOrphans(nodesAll, triples)

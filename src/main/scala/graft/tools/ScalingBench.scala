@@ -52,13 +52,16 @@ object ScalingBench {
       readPages().limit(1000),
       Synth.aliases(spark, cfg), Synth.sameAs(spark, cfg), 1000L)
     warm.triples.count()
+    warm.unpersist()
 
     val trials = (1 to 3).map { _ =>
       val t0 = System.nanoTime()
       val g = Pipeline.run(readPages(), Synth.aliases(spark, cfg),
         Synth.sameAs(spark, cfg), cfg.nPages)
       val triples = g.triples.count()
-      (System.nanoTime() - t0) / 1e9 -> triples
+      val secs = (System.nanoTime() - t0) / 1e9
+      g.unpersist()
+      secs -> triples
     }
     val (secs, triples) = trials.minBy(_._1)
     println(f"""{"bench":"scaling","cpus":$cpus,"pages":$nPages,""" +

@@ -62,6 +62,27 @@ class PlanSpec extends SparkSpec {
     p should not include "BatchEvalPython"
   }
 
+  test("pipeline triples read the cached extraction (InMemoryTableScan), not a re-extract") {
+    val cfg = SynthConfig(nPages = 50L)
+    val g = Pipeline.run(Synth.pages(spark, cfg), Synth.aliases(spark, cfg),
+      Synth.sameAs(spark, cfg), cfg.nPages)
+    try {
+      // triples fans out into 4 branches over extracted/linked/canon; each
+      // branch must scan the cache — a SerializeFromObject in the triples
+      // plan (outside the cached relation itself) would mean the
+      // extraction map runs again per branch. The logical tree does not
+      // descend into InMemoryRelation.cachedPlan, so collect() sees only
+      // the live plan.
+      val lp = g.triples.toDF().queryExecution.optimizedPlan
+      lp.collect {
+        case r: org.apache.spark.sql.execution.columnar.InMemoryRelation => r
+      } should not be empty
+      lp.collect {
+        case s: org.apache.spark.sql.catalyst.plans.logical.SerializeFromObject => s
+      } shouldBe empty
+    } finally g.unpersist()
+  }
+
   test("url-dedup aggregates partially before the exchange (map-side combine)") {
     val cfg = SynthConfig(nPages = 50L)
     val p = plan(graft.extract.Extract.run(Synth.pages(spark, cfg)).toDF())
