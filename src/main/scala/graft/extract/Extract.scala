@@ -55,18 +55,17 @@ object Extract {
     * crosses a shuffle), then url-dedup on the much smaller extracted
     * rows. Duplicate urls are ~2% of a crawl, so the surplus extraction
     * is cheap; shuffling multi-KB html bodies is not. Keep-latest
-    * tie-break: max (warc_ts, text_sha256) — total order, deterministic
-    * under any parallelism. */
+    * tie-break: max (warc_ts, xxhash64(html)) — the ONE frozen total-order
+    * key, shared with dedupLatest and Incremental.diff (an 8-byte hash
+    * rides the shuffle instead of the html body). */
   def run(
       pages: Dataset[PageRow],
       extractor: TextExtractor = HtmlTextExtractor): Dataset[ExtractedPage] = {
     val spark = pages.sparkSession
     import spark.implicits._
-    pages.map(p => extractOne(p, extractor))
-      .groupBy($"url")
-      .agg(max_by(
-        struct($"url", $"site", $"warc_ts", $"text", $"lang", $"links", $"text_sha256"),
-        struct($"warc_ts", $"text_sha256")).as("r"))
+    pages.map(p => (extractOne(p, extractor), graft.util.Det.xxh64Bytes(p.html)))
+      .groupBy($"_1.url")
+      .agg(max_by($"_1", struct($"_1.warc_ts", $"_2")).as("r"))
       .select($"r.*")
       .as[ExtractedPage]
   }

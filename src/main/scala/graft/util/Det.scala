@@ -33,6 +33,15 @@ object Det {
     acc
   }
 
+  /** xxhash64 of raw bytes, identical to Spark SQL's `xxhash64(col)` on a
+    * BinaryType column (seed 42) — the ONE frozen url-dedup tie-break key
+    * shared by Extract.run / Extract.dedupLatest / Incremental.diff and
+    * the sequential test oracle (NaiveKg). */
+  def xxh64Bytes(bytes: Array[Byte]): Long =
+    org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+      bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
+      bytes.length, 42L)
+
   /** Uniform double in [0, 1) from a hash. */
   def unit(x: Long): Double = ((x >>> 11).toDouble) / (1L << 53).toDouble
 

@@ -20,9 +20,11 @@ object NaiveKg {
 
   def build(pages: Seq[PageRow], dict: Seq[AliasRow], sameas: Seq[SameAsEdge],
       nPages: Long): Result = {
-    // 1. dedup by url, keep max warc_ts
+    // 1. dedup by url: keep max (warc_ts, xxhash64(html)) — the frozen
+    // tie-break key (Extract.scala scaladoc)
     val latest = pages.groupBy(_.url).values
-      .map(rs => rs.maxBy(_.warc_ts.getTime)).toSeq.sortBy(_.url)
+      .map(rs => rs.maxBy(p => (p.warc_ts.getTime, graft.util.Det.xxh64Bytes(p.html))))
+      .toSeq.sortBy(_.url)
 
     // 2. extract
     val extracted = latest.map { p =>

@@ -89,4 +89,42 @@ class IncrementalSpec extends SparkSpec {
     val d = Incremental.diff(oldPages, oldPages)
     Incremental.dirtyBuckets(d, N) shouldBe empty
   }
+
+  test("Det.xxh64Bytes equals SQL xxhash64 on binary columns") {
+    val samples = Seq("", "a", "hello world", "<p>x</p>é中")
+      .map(_.getBytes("UTF-8"))
+    val got = spark.createDataset(samples).toDF("b")
+      .select(xxhash64(col("b"))).collect().map(_.getLong(0)).toSeq
+    got shouldBe samples.map(graft.util.Det.xxh64Bytes)
+  }
+
+  test("same-warc_ts duplicates: run/dedupLatest/diff agree on one tie-break key") {
+    import graft.extract.{Extract, HtmlText}
+    import graft.util.Det
+    // find two html variants whose xxh64 order DISAGREES with the order
+    // of their extracted-text sha256 (the round-1 bug: three keys)
+    val variants = (0 until 60).map(i =>
+      s"<html><body><p>variant $i content</p></body></html>".getBytes("UTF-8"))
+    val Seq(a, b) = variants.combinations(2).find { case Seq(x, y) =>
+      val hashOrder = Det.xxh64Bytes(x) < Det.xxh64Bytes(y)
+      val shaOrder = HtmlText.sha256Hex(HtmlText.extract(x)) <
+        HtmlText.sha256Hex(HtmlText.extract(y))
+      hashOrder != shaOrder
+    }.get
+    val ts = new Timestamp(1000L)
+    val rows = Seq(
+      PageRow("http://s/x", ts, a, null, "en"),
+      PageRow("http://s/x", ts, b, null, "en"))
+    val pages = spark.createDataset(rows)
+    val expectedHtml = rows.maxBy(p => (p.warc_ts.getTime, Det.xxh64Bytes(p.html))).html
+    // the extracted winner is the (warc_ts, xxh64(html)) max...
+    Extract.run(pages).collect().head.text_sha256 shouldBe
+      HtmlText.sha256Hex(HtmlText.extract(expectedHtml))
+    // ...and so is the dedupLatest winner
+    Extract.dedupLatest(pages).collect().head.html shouldBe expectedHtml
+    // ...and diff sees identical snapshots as unchanged (winning-hash key)
+    val statuses = Incremental.diff(pages, pages)
+      .select("status").collect().map(_.getString(0)).toSet
+    statuses shouldBe Set("unchanged")
+  }
 }
