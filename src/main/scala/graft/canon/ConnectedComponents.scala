@@ -47,16 +47,19 @@ object ConnectedComponents {
   }
 
   /** Fixpoint loop over (large-star; small-star). Convergence detected by
-    * an order-insensitive checksum (count + sum of row hashes) — one
-    * cheap aggregate per round instead of an `except` join. */
+    * an order-insensitive checksum (count + xor of row hashes) — one
+    * cheap aggregate per round instead of an `except` join. The round's
+    * localCheckpoint is LAZY and the checksum is its materializing
+    * action, so each round runs exactly one Spark job (round-1 ran two:
+    * eager checkpoint + checksum). */
   def run(edges0: DataFrame, maxIter: Int = 50): DataFrame = {
     var e = edges0.select(col("u").cast("long"), col("v").cast("long"))
       .filter(col("u") =!= col("v")).distinct().localCheckpoint()
     var prev = checksum(e)
     var i = 0
-    var converged = e.isEmpty
+    var converged = prev._1 == 0L
     while (!converged && i < maxIter) {
-      e = smallStar(largeStar(e)).localCheckpoint()
+      e = smallStar(largeStar(e)).localCheckpoint(false)
       val cur = checksum(e)
       converged = cur == prev
       prev = cur

@@ -89,7 +89,10 @@ object Enrich {
     val s = summarizer
     val sumUdf = udf((children: Seq[String]) =>
       s.summarize(children.mkString("|")) + s" [${children.size} children]")
-    val maxDepth = internal.agg(max(col("depth"))).head().getInt(0)
+    // coalesce: no internal nodes → maxDepth -1 → empty loop, empty
+    // result with the right schema (not an NPE on a null max)
+    val maxDepth = internal
+      .agg(coalesce(max(col("depth")), lit(-1))).head().getInt(0)
     var acc = leaves.select(col("node"), col("parent"), col("summary"))
     var out: Seq[DataFrame] = Nil
     (maxDepth to 0 by -1).foreach { d =>
@@ -103,7 +106,10 @@ object Enrich {
       out = out :+ rolled.withColumn("depth", lit(d))
       acc = acc.union(rolled).localCheckpoint()
     }
-    out.reduce(_ union _).select("node", "depth", "summary")
+    out.reduceOption(_ union _)
+      .map(_.select(col("node"), col("depth"), col("summary")))
+      .getOrElse(leaves.select(col("node"), lit(0).as("depth"),
+        col("summary")).limit(0))
   }
 
   /** Url-path hierarchy for the roll-up: leaf = page url under parent

@@ -76,6 +76,12 @@ object Incremental {
     d.unpersist()
     if (dirty.isEmpty) return dirty
 
+    // mark every stage in-progress BEFORE any data dir is touched: a kill
+    // mid-update must not leave old manifests pointing at mixed data
+    // (they are re-stamped with the new snapshot id at the end)
+    Seq("extracted", "linked", "canon", "triples", "nodes", "adjacency")
+      .foreach(s => Snapshot.invalidate(s"$outDir/$s"))
+
     // rebuild the FULL dirty buckets from the new snapshot (a bucket is
     // the overwrite unit; urls deleted from the snapshot vanish with it)
     val inDirty = Pipeline.bucketOf(col("url"), nBuckets).isin(dirty: _*)

@@ -29,13 +29,6 @@ object Mention {
 
   def aliasTokenCount(alias: String): Int = tokenize(alias).length
 
-  /** All (start, len, surface) n-grams of length 1..maxLen. */
-  def ngrams(tokens: Array[String], maxLen: Int): Iterator[(Int, Int, String)] =
-    for {
-      start <- Iterator.range(0, tokens.length)
-      len <- Iterator.range(1, maxLen + 1) if start + len <= tokens.length
-    } yield (start, len, tokens.slice(start, start + len).mkString(" "))
-
   def detect(
       extracted: Dataset[ExtractedPage],
       dict: Dataset[AliasRow]): Dataset[CandidateRow] = {
@@ -45,9 +38,12 @@ object Mention {
     // Longest alias in the dictionary bounds n-gram generation. Tiny
     // one-row aggregate, same shape as the reference's schema-version
     // inference (clangd_index_yaml_parser.py:276-281).
+    // coalesce: an EMPTY dictionary makes max() return null → maxLen 0
+    // → no candidates (not an NPE)
     val maxLen = dict
       .map(a => aliasTokenCount(a.alias))
-      .agg(max("value")).as[Int].head()
+      .agg(coalesce(max("value"), lit(0))).as[Int].head()
+    if (maxLen == 0) return spark.emptyDataset[CandidateRow]
 
     // Scale guard: a page with T tokens would otherwise materialize
     // T*maxLen n-gram strings (60 GB+ of garbage per 10^8 pages). An

@@ -74,6 +74,10 @@ object Snapshot {
       case Some(m) if m.snapshotId == snapshotId && m.version == version =>
         spark.read.parquet(dataDir)
       case _ =>
+        // invalidate FIRST: a kill between the data overwrite and the new
+        // manifest write must not leave the old manifest pointing at
+        // destroyed/mixed data (resume would trust it)
+        invalidate(dir)
         val t0 = System.nanoTime()
         val df = compute
         val w = df.write.mode(SaveMode.Overwrite)
@@ -88,6 +92,12 @@ object Snapshot {
         committed
     }
   }
+
+  /** Remove a stage's manifest (mark in-progress) BEFORE its data dir is
+    * rewritten, so a kill mid-overwrite cannot leave a committed manifest
+    * pointing at partial data. Idempotent. */
+  def invalidate(dir: String): Unit =
+    Files.deleteIfExists(manifestPath(dir))
 
   /** Re-stamp a stage's manifest after an external (e.g. incremental)
     * rewrite of its data dir — ≙ the reference's commit-hash stamp on

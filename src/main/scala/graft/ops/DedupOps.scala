@@ -36,7 +36,11 @@ object DedupOps {
 
   /** Exact n-gram Jaccard similar pairs (id_a < id_b, jaccard >= tau).
     * `maxShingleDf` drops shingles present in more than that many docs
-    * (stop-shingle cap — the scale knob; pass Int.MaxValue for exact). */
+    * (stop-shingle cap — the scale knob; pass Int.MaxValue for exact).
+    * With the cap active, jaccard is computed entirely in the FILTERED
+    * shingle space (sizes and intersections post-filter) — the standard
+    * stop-word-removal semantics, self-consistent instead of mixing an
+    * unfiltered denominator with a filtered numerator. */
   def jaccardPairs(
       df: DataFrame, idCol: String, textCol: String,
       n: Int, tau: Double, maxShingleDf: Int = Int.MaxValue): DataFrame = {
@@ -48,7 +52,7 @@ object DedupOps {
         val hot = sh.groupBy("s").count().filter(col("count") > maxShingleDf)
         sh.join(hot, Seq("s"), "left_anti")
       }
-    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
+    val sizes = filtered.groupBy("id").agg(count(lit(1)).as("n_sh"))
     val pairs = filtered.as("a")
       .join(filtered.as("b"),
         col("a.s") === col("b.s") && col("a.id") < col("b.id"))
@@ -114,13 +118,33 @@ object DedupOps {
 
   /** MinHash-LSH near-dup pairs with exact Jaccard re-verification of
     * the candidates — the 100 TB-shaped plan: candidates from banding
-    * (no quadratic join), verification only on the candidate set. */
+    * (no quadratic join), verification only on the candidate set. The
+    * candidate pairs join back to per-doc shingle arrays and the
+    * intersection is computed directly — the full shingle self-join of
+    * jaccardPairs never executes (round-1 semi-joined its output, which
+    * still ran the quadratic join underneath). Output columns match
+    * jaccardPairs. */
   def minhashNearDupPairs(
       df: DataFrame, idCol: String, textCol: String,
       n: Int, tau: Double, bands: Int = 8, rowsPerBand: Int = 4): DataFrame = {
     val cand = minhashCandidates(df, idCol, textCol, n, bands, rowsPerBand)
-    val exact = jaccardPairs(df, idCol, textCol, n, tau)
-    exact.join(cand, Seq("id_a", "id_b"), "left_semi")
+    val withSh = df.select(col(idCol).as("id"),
+        shingles(TextOps.tokens(col(textCol)), n).as("sh"))
+      .filter(size(col("sh")) > 0)
+    // cand is banding-bounded (small); AQE broadcasts it, so the shingle
+    // arrays stream map-side and only candidate docs' arrays materialize
+    cand
+      .join(withSh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(withSh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .withColumn("common", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("n_a", size(col("sh_a")))
+      .withColumn("n_b", size(col("sh_b")))
+      .withColumn("jaccard",
+        col("common").cast("double") /
+          (col("n_a") + col("n_b") - col("common")).cast("double"))
+      .filter(col("jaccard") >= tau)
+      .select(col("id_a"), col("id_b"), col("common"), col("n_a"), col("n_b"),
+        round(col("jaccard"), 6).as("jaccard"))
   }
 
   // ------------------------------------------------------------- SimHash

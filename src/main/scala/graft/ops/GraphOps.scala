@@ -8,6 +8,12 @@ import org.apache.spark.sql.functions._
   * folder prune A9). Catalyst has no recursion — these are driver-side
   * fixpoint loops of self-joins with lineage truncation, the same
   * skeleton as canon.ConnectedComponents.
+  *
+  * Cost discipline (the fixed overhead dominates at fixture scale and
+  * the per-round shuffles dominate at 100×): every round runs exactly ONE
+  * Spark job — intermediates are lazily localCheckpoint'ed and the loop-
+  * condition action materializes the whole round's chain; the cumulative
+  * result set is deduplicated once at the END, not per round.
   */
 object GraphOps {
 
@@ -18,22 +24,25 @@ object GraphOps {
     val spark = edges.sparkSession
     val e = edges.select(col("src"), col("dst")).distinct().localCheckpoint()
     var visited = seeds.select(col("node")).distinct().localCheckpoint()
-    // nodes with an incoming path of length >= 1 from the seed set
-    var reached = spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], visited.schema)
+    var steps: List[DataFrame] = Nil // per-round reached sets (lazily checkpointed)
     var frontier = visited
     var i = 0
     while (!frontier.isEmpty && i < maxIter) {
+      // one action per round: next round's isEmpty materializes this chain
       val step = e.join(frontier, e("src") === frontier("node"))
-        .select(e("dst").as("node")).distinct().localCheckpoint()
-      reached = reached.union(step).distinct().localCheckpoint()
-      val next = step.join(visited, Seq("node"), "left_anti").localCheckpoint()
-      visited = visited.union(next).localCheckpoint()
+        .select(e("dst").as("node")).distinct().localCheckpoint(false)
+      val next = step.join(visited, Seq("node"), "left_anti").localCheckpoint(false)
+      visited = visited.union(next).localCheckpoint(false)
+      steps ::= step
       frontier = next
       i += 1
     }
     require(i < maxIter, s"reachability did not converge in $maxIter rounds")
-    reached
+    // global dedup deferred to one pass over the (materialized) steps
+    steps.reduceOption(_ union _).map(_.distinct()).getOrElse(
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        visited.schema))
   }
 
   /** Iterative empty-parent pruning (A9 analog): repeatedly drop nodes
@@ -44,6 +53,7 @@ object GraphOps {
       keep: DataFrame, // (node) leaves that justify their ancestors
       maxIter: Int = 100): DataFrame = {
     var surviving = nodes.select(col("node")).distinct().localCheckpoint()
+    var prevCount = surviving.count()
     var changed = true
     var i = 0
     while (changed && i < maxIter) {
@@ -52,8 +62,11 @@ object GraphOps {
         .select(col("src").as("node")).distinct()
         .union(keep.select(col("node")))
         .distinct()
-      val next = surviving.join(justified, Seq("node"), "left_semi").localCheckpoint()
-      changed = next.count() != surviving.count()
+      val next = surviving.join(justified, Seq("node"), "left_semi")
+        .localCheckpoint(false)
+      val c = next.count() // the round's single action
+      changed = c != prevCount
+      prevCount = c
       surviving = next
       i += 1
     }

@@ -51,6 +51,15 @@ class EnrichSpec extends SparkSpec {
     rolled.filter(col("depth") === 1).head().getString(2) should include("children]")
   }
 
+  test("hierarchyRollup with no internal nodes → empty result, right schema, no NPE") {
+    import spark.implicits._
+    val leaves = Seq(("l1", "p", "s")).toDF("node", "parent", "summary")
+    val internal = Seq.empty[(String, String, Int)].toDF("node", "parent", "depth")
+    val r = Enrich.hierarchyRollup(leaves, internal)
+    r.columns.toSeq shouldBe Seq("node", "depth", "summary")
+    r.count() shouldBe 0L
+  }
+
   test("pluggable extractor: plain strategy keeps tags, own version string") {
     val plain = Extract.run(Synth.pages(spark, cfg), PlainTextExtractor)
     val t = plain.head()

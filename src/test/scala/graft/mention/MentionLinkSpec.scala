@@ -50,6 +50,12 @@ class MentionLinkSpec extends SparkSpec {
     linked.collect { case ("pied piper", e) => e }.toSet shouldBe Set(1L)
   }
 
+  test("empty alias dictionary yields empty candidates, not an NPE") {
+    val pages = spark.createDataset(Seq(page("u1", "some text here")))
+    val dict = spark.emptyDataset[AliasRow]
+    Mention.detect(pages, dict).count() shouldBe 0L
+  }
+
   test("salted inner join equals plain inner join") {
     val big = (0L until 2000L)
       .map(i => (i % 5, s"u$i")).toDF("k", "url") // key 0..4, skewed fine

@@ -50,6 +50,24 @@ class SnapshotSpec extends SparkSpec {
     r.getAs[Long]("rows_in") shouldBe 5L
   }
 
+  test("stale manifest is removed BEFORE the overwrite starts (kill mid-write is safe)") {
+    val dir = Files.createTempDirectory("graft-snap4").toString
+    import spark.implicits._
+    Snapshot.stage(spark, dir, "s1", "snapA", "v1") {
+      Seq((1L, "a")).toDF("id", "v")
+    }
+    Snapshot.readManifest(s"$dir/s1") should not be empty
+    // a recompute that dies mid-way (here: before writing any data) must
+    // already have invalidated the old manifest — resume must NOT trust
+    // the old commit over a possibly-mixed data dir
+    intercept[RuntimeException] {
+      Snapshot.stage(spark, dir, "s1", "snapB", "v1") {
+        throw new RuntimeException("killed mid-stage")
+      }
+    }
+    Snapshot.readManifest(s"$dir/s1") shouldBe empty
+  }
+
   test("full build is idempotent and kill-resume-safe at stage granularity") {
     val cfg = SynthConfig(nPages = 60L, nSites = 3, nEntities = 20)
     val dir = Files.createTempDirectory("graft-build").toString

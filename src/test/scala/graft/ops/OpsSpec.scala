@@ -65,10 +65,14 @@ class OpsSpec extends SparkSpec {
       .select("id_a", "id_b")
       .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
     verified should contain((1L, 4L))
-    verified.subsetOf(
-      DedupOps.jaccardPairs(docs, "doc_id", "text", 3, 0.5)
-        .collect().map(x => (x.getAs[Long]("id_a"), x.getAs[Long]("id_b"))).toSet
-    ) shouldBe true
+    // candidate-only verification must agree row-for-row with the exact
+    // quadratic baseline restricted to the candidate set
+    val exactRows = DedupOps.jaccardPairs(docs, "doc_id", "text", 3, 0.5)
+      .collect().map(_.toSeq)
+      .filter(r => cand.contains((r.head.asInstanceOf[Long], r(1).asInstanceOf[Long])))
+      .toSet
+    DedupOps.minhashNearDupPairs(docs, "doc_id", "text", 3, 0.5, 8, 2)
+      .collect().map(_.toSeq).toSet shouldBe exactRows
   }
 
   test("simhash: identical texts distance 0; near-dups within radius") {
@@ -79,9 +83,9 @@ class OpsSpec extends SparkSpec {
     pairs.find(p => p._1 == 1L && p._2 == 4L).map(_._3) shouldBe Some(0L)
   }
 
-  test("stop-shingle cap removes hot shingles but keeps true sizes") {
+  test("stop-shingle cap: jaccard computed in the filtered shingle space") {
     val r = DedupOps.jaccardPairs(docs, "doc_id", "text", 3, 0.99, maxShingleDf = 1)
-    // with every shared shingle dropped, no pair can reach tau
+    // with every shared shingle dropped, no pair can have any overlap
     r.count() shouldBe 0L
   }
 
