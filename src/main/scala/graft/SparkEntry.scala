@@ -261,7 +261,71 @@ object SparkEntry {
         .orderBy("subj", "pred", "obj")
     }))
 
+  /** q25's SRP hyperplanes inlined as DuckDB list literals (identical
+    * deterministic values as the lshTopK call: seed 42, 8 planes, dim 64)
+    * so the oracle reproduces the exact buckets, probes, and re-rank. */
+  private def q25OracleSql: String = {
+    val planes = (0 until 8).map { p =>
+      val vs = AnnOps.hyperplane(42L, p, 64).map(_.toString).mkString(", ")
+      s"($p, [$vs]::DOUBLE[])"
+    }.mkString(",\n  ")
+    s"""WITH planes(pid, pv) AS (VALUES
+       |  $planes),
+       |bucketed AS (
+       |  SELECT e.vec_id AS id, e.embedding AS emb,
+       |    CAST(sum(CASE WHEN list_sum([e.embedding[i]::DOUBLE * p.pv[i]
+       |                   for i in range(1, 65)]) >= 0
+       |             THEN (1::BIGINT << p.pid) ELSE 0 END) AS BIGINT) AS bucket
+       |  FROM embeddings e CROSS JOIN planes p
+       |  GROUP BY e.vec_id, e.embedding),
+       |qb AS (SELECT bucket AS qbucket FROM bucketed WHERE id = 0),
+       |probes AS (
+       |  SELECT qbucket AS pb FROM qb
+       |  UNION ALL
+       |  SELECT xor(qb.qbucket, (1::BIGINT << p.pid)) FROM qb CROSS JOIN planes p),
+       |qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+       |SELECT b.id AS id,
+       |  round(list_sum([b.emb[i]::DOUBLE * qv.qe[i]::DOUBLE for i in range(1, 65)]) /
+       |    (sqrt(list_sum([b.emb[i]::DOUBLE * b.emb[i]::DOUBLE for i in range(1, 65)])) *
+       |     sqrt(list_sum([qv.qe[i]::DOUBLE * qv.qe[i]::DOUBLE for i in range(1, 65)]))), 6) AS cos
+       |FROM bucketed b, qv
+       |WHERE b.bucket IN (SELECT pb FROM probes)
+       |ORDER BY cos DESC, id LIMIT 10""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
+    // SimHash brute-force re-derivation: md5-derived 64-bit token hash
+    // ((hi-signed)*2^32+lo assembles the first 8 md5 bytes big-endian,
+    // matching DedupOps.md5Hash64), per-bit majority vote, all-pairs
+    // hamming <= 3 — the banding in simhashPairs is exhaustive for
+    // radius 3 (pigeonhole), so the sets must be equal.
+    "q23_simhash_pairs" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) tok
+        |  FROM documents),
+        |th AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN hi >= 2147483648 THEN hi - 4294967296 ELSE hi END)
+        |      * 4294967296 + lo AS h
+        |  FROM (SELECT doc_id,
+        |          ('0x' || substr(md5(tok), 1, 8))::BIGINT hi,
+        |          ('0x' || substr(md5(tok), 9, 8))::BIGINT lo
+        |        FROM toks)),
+        |bits AS (
+        |  SELECT doc_id, r.range AS b,
+        |    CASE WHEN sum(CASE WHEN ((h >> CAST(r.range AS INTEGER)) & 1) = 1
+        |                       THEN 1 ELSE -1 END) > 0
+        |         THEN 1 ELSE 0 END AS bit
+        |  FROM th CROSS JOIN range(64) r
+        |  GROUP BY doc_id, r.range),
+        |pairs AS (
+        |  SELECT a.doc_id id_a, b2.doc_id id_b,
+        |    sum(CASE WHEN a.bit != b2.bit THEN 1 ELSE 0 END) AS hamming
+        |  FROM bits a JOIN bits b2 ON a.b = b2.b AND a.doc_id < b2.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b, CAST(hamming AS INTEGER) AS hamming
+        |FROM pairs WHERE hamming <= 3 ORDER BY id_a, id_b""".stripMargin,
+    "q25_ann_lsh" -> q25OracleSql,
     "q01_dedup_latest" ->
       """SELECT user_id, event_id AS last_event_id,
         | strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS last_ts,

@@ -149,13 +149,26 @@ object DedupOps {
 
   // ------------------------------------------------------------- SimHash
 
-  /** 64-bit SimHash of a token sequence (deterministic SplitMix64 token
-    * hashes, per-bit majority vote). Pure Scala — used via typed
+  /** Portable 64-bit token hash: first 8 bytes of md5(utf8), big-endian
+    * signed. md5 is available in every engine (DuckDB: hex-parse of
+    * substr(md5(t),1,16)), so simhash signatures are oracle-checkable
+    * across engines — Det.hashStr (SplitMix64) was Scala-only. */
+  def md5Hash64(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var h = 0L
+    var i = 0
+    while (i < 8) { h = (h << 8) | (d(i) & 0xFFL); i += 1 }
+    h
+  }
+
+  /** 64-bit SimHash of a token sequence (md5-derived token hashes,
+    * per-bit majority vote; ties → 0). Pure Scala — used via typed
     * Dataset.map / a deterministic UDF off the codegen hot path. */
   def simhash64(tokens: Seq[String]): Long = {
     val tally = new Array[Int](64)
     tokens.foreach { t =>
-      val h = Det.hashStr(t)
+      val h = md5Hash64(t)
       var b = 0
       while (b < 64) {
         if (((h >>> b) & 1L) == 1L) tally(b) += 1 else tally(b) -= 1
