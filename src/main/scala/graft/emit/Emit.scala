@@ -16,6 +16,13 @@ object Emit {
 
   def entityId(id: Long): String = s"ent:$id"
 
+  /** The single root node above all sites — ≙ the reference's one
+    * PROJECT node that anchors root folders and carries the commit hash
+    * (clangd_graph_rag_builder.py:112-122,
+    * clangd_symbol_nodes_builder.py:440-453). Hierarchy walks that start
+    * at the root have an anchor. */
+  val RootId = "graft:root"
+
   /** mentions resolved to canonical entities. The mention stream is
     * Zipf-skewed on entity_id (head entity on 20%+ of mentions) and the
     * canon map at 10^12-doc scale is NOT broadcastable → explicit salted
@@ -41,6 +48,11 @@ object Emit {
     val contains = ex.select($"site".as("subj"), $"url".as("obj"))
       .distinct()
       .select($"subj", lit(Pred.Contains).as("pred"), $"obj")
+
+    // root → site: one PROJECT anchor over the whole hierarchy
+    val rootContains = ex.select($"site").distinct()
+      .select(lit(RootId).as("subj"), lit(Pred.Contains).as("pred"),
+        $"site".as("obj"))
 
     val cm = canonicalMentions(linked, canon)
       .select($"url", $"canon_id")
@@ -68,15 +80,26 @@ object Emit {
         concat(lit("ent:"), $"b.canon_id").as("obj"))
       .distinct()
 
-    contains.union(mentions).union(linksTo).union(relates).as[TripleRow]
+    rootContains.union(contains).union(mentions).union(linksTo)
+      .union(relates).as[TripleRow]
   }
 
+  /** @param snapshotId stamped onto the PROJECT root node's props —
+    *        ≙ PROJECT.commit_hash (clangd_graph_rag_builder.py:112-122).
+    *        None (in-memory runs) stamps nothing. */
   def nodes(
       extracted: Dataset[ExtractedPage],
-      triples: Dataset[TripleRow]): Dataset[NodeRow] = {
+      triples: Dataset[TripleRow],
+      snapshotId: Option[String] = None): Dataset[NodeRow] = {
     val spark = extracted.sparkSession
     import spark.implicits._
     val ex = extracted.toDF()
+
+    val rootProps = Map("name" -> "root") ++
+      snapshotId.map("snapshot_id" -> _)
+    val root = spark.range(1).select(
+      lit(RootId).as("node_id"), lit(Label.Project).as("label"),
+      typedLit(rootProps).as("props"))
 
     val sites = ex.select($"site").distinct()
       .select($"site".as("node_id"), lit(Label.Site).as("label"),
@@ -92,7 +115,8 @@ object Emit {
       .select($"node_id", lit(Label.Entity).as("label"),
         map(lit("canon"), $"node_id").as("props"))
 
-    sites.union(pages).union(ents).as[NodeRow]
+    // dropOrphans removes the root again if there are no sites at all
+    root.union(sites).union(pages).union(ents).as[NodeRow]
   }
 
   /** Degree-0 node cleanup, run last (reference pass 8,

@@ -124,7 +124,7 @@ object Incremental {
       .write.mode(SaveMode.Overwrite).partitionBy("bucket")
       .parquet(s"$outDir/triples/data")
     val t = spark.read.parquet(s"$outDir/triples/data").drop("bucket").as[TripleRow]
-    Emit.dropOrphans(Emit.nodes(ex, t), t).toDF()
+    Emit.dropOrphans(Emit.nodes(ex, t, Some(newSnapshotId)), t).toDF()
       .write.mode(SaveMode.Overwrite).parquet(s"$outDir/nodes/data")
     Emit.adjacency(t).toDF()
       .withColumn("bucket", Pipeline.bucketOf(col("src"), nBuckets))

@@ -79,6 +79,7 @@ object Pred {
 }
 
 object Label {
+  val Project = "PROJECT" // the single root node ≙ reference PROJECT
   val Site = "SITE"
   val Page = "PAGE"
   val Entity = "ENTITY"

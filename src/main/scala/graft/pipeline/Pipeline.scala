@@ -115,7 +115,7 @@ object Pipeline {
     Snapshot.stage(spark, outDir, "nodes", snapshotId, "emit-v1") {
       val ex = extracted.drop("bucket").as[ExtractedPage]
       val t = triples.drop("bucket").as[TripleRow]
-      Emit.dropOrphans(Emit.nodes(ex, t), t).toDF()
+      Emit.dropOrphans(Emit.nodes(ex, t, Some(snapshotId)), t).toDF()
     }
 
     Snapshot.stage(spark, outDir, "adjacency", snapshotId, "emit-v1",

@@ -78,8 +78,11 @@ object NaiveKg {
     }
     def canon(e: Long): Long = compMin.getOrElse(e, e)
 
-    // 6. triples
-    val contains = extracted.map(e => (e._2, Pred.Contains, e._1)).toSet
+    // 6. triples (incl. the single PROJECT root above all sites)
+    val rootContains = extracted.map(_._2).distinct
+      .map(s => ("graft:root", Pred.Contains, s)).toSet
+    val contains = extracted.map(e => (e._2, Pred.Contains, e._1)).toSet ++
+      rootContains
     val pageEnts: Map[String, Set[Long]] = linked.groupBy(_._1)
       .map { case (u, ms) => u -> ms.map(m => canon(m._4)).toSet }
     val mentions = pageEnts.flatMap { case (u, es) =>
@@ -97,7 +100,8 @@ object NaiveKg {
     val triples = contains ++ mentions ++ linksTo ++ relates
     val endpoints = triples.flatMap(t => Set(t._1, t._3))
     val nodes = (
-      extracted.map(e => (e._2, Label.Site)).toSet ++
+      Set(("graft:root", Label.Project)) ++
+        extracted.map(e => (e._2, Label.Site)).toSet ++
         extracted.map(e => (e._1, Label.Page)).toSet ++
         endpoints.filter(_.startsWith("ent:")).map(e => (e, Label.Entity))
       ).filter(n => endpoints.contains(n._1))
