@@ -253,6 +253,19 @@ object SparkEntry {
           col("width"), col("height"), col("n_bytes"))
         .orderBy("media_id")
     }),
+    // ---- J9 neighbor-context collect join (enrichment context shape) ----
+    "q30_context_join" -> ((s, d) => {
+      val docs = rd(s, d, "documents")
+      val nodeSums = docs.select(col("doc_id").as("url"),
+        concat(col("source"), lit("/"), col("lang")).as("summary"))
+      // deterministic synthetic link graph over the documents table
+      val edges = docs.select(col("doc_id").as("subj"),
+        ((col("doc_id") * 3 + 7) % 500).as("obj"))
+      graft.enrich.Enrich.contextSummaries(edges, nodeSums)
+        .select(col("url").as("doc_id"), col("summary"),
+          array_join(col("neighborSummaries"), ",").as("neighbor_summaries"))
+        .orderBy("doc_id")
+    }),
     // ---- flagship KG pipeline on the synth corpus (rows-only check) ----
     "q29_kg_triples" -> ((s, d) => {
       val cfg = SynthConfig(nPages = 120L, nSites = 5, nEntities = 40)
@@ -326,6 +339,24 @@ object SparkEntry {
         |SELECT id_a, id_b, CAST(hamming AS INTEGER) AS hamming
         |FROM pairs WHERE hamming <= 3 ORDER BY id_a, id_b""".stripMargin,
     "q25_ann_lsh" -> q25OracleSql,
+    // context-join shape: string_agg(DISTINCT .. ORDER BY) mirrors
+    // array_join(array_sort(collect_set(..)))
+    "q30_context_join" ->
+      """WITH nodes AS (
+        |  SELECT doc_id, source || '/' || lang AS summary FROM documents),
+        |edges AS (
+        |  SELECT doc_id AS subj, (doc_id * 3 + 7) % 500 AS obj FROM documents),
+        |und AS (
+        |  SELECT subj AS url, obj AS nbr FROM edges
+        |  UNION ALL SELECT obj, subj FROM edges),
+        |nbrs AS (
+        |  SELECT u.url,
+        |    string_agg(DISTINCT n.summary, ',' ORDER BY n.summary) AS ns
+        |  FROM und u JOIN nodes n ON n.doc_id = u.nbr
+        |  GROUP BY u.url)
+        |SELECT n.doc_id, n.summary, coalesce(b.ns, '') AS neighbor_summaries
+        |FROM nodes n LEFT JOIN nbrs b ON b.url = n.doc_id
+        |ORDER BY doc_id""".stripMargin,
     "q01_dedup_latest" ->
       """SELECT user_id, event_id AS last_event_id,
         | strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS last_ts,

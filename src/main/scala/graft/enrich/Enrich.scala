@@ -1,6 +1,7 @@
 package graft.enrich
 
-import graft.model.ExtractedPage
+import graft.emit.Emit
+import graft.model.{ExtractedPage, Label}
 import graft.util.Det
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
@@ -110,6 +111,55 @@ object Enrich {
       .map(_.select(col("node"), col("depth"), col("summary")))
       .getOrElse(leaves.select(col("node"), lit(0).as("depth"),
         col("summary")).limit(0))
+  }
+
+  /** The enriched node-property table the staged build materializes —
+    * ≙ the reference's summary + summaryEmbedding node properties on
+    * FUNCTION/FILE/FOLDER/PROJECT (clangd_symbol_nodes_builder.py:55-103;
+    * roll-up code_graph_rag_generator.py:350-445).
+    *
+    * One row per PAGE (leaf summary + embedding + sorted neighbor-context
+    * summaries from the links_to graph), per SITE (bottom-up roll-up of
+    * its pages' summaries), and the PROJECT root (roll-up of sites).
+    * Schema: (node_id, label, summary, summaryEmbedding,
+    * neighborSummaries).
+    *
+    * @param linksTo (subj, obj) page-link edges — pass the links_to
+    *        triples. */
+  def nodeEnrichment(
+      extracted: Dataset[ExtractedPage],
+      linksTo: DataFrame,
+      summarizer: Summarizer = FakeSummarizer,
+      embedder: Embedder = new FakeEmbedder()): DataFrame = {
+    val spark = extracted.sparkSession
+    import spark.implicits._
+
+    val pageSums = pageSummaries(extracted, summarizer, embedder)
+    val ctx = contextSummaries(
+      linksTo.select(col("subj"), col("obj")), pageSums)
+    val pages = pageSums
+      .join(ctx.select(col("url"), col("neighborSummaries")), Seq("url"))
+      .select(col("url").as("node_id"), lit(Label.Page).as("label"),
+        col("summary"), col("summaryEmbedding"), col("neighborSummaries"))
+
+    // bottom-up roll-up over the emitted hierarchy: page → site → root
+    val leaves = pageSums.select(col("url").as("node"),
+      col("site").as("parent"), col("summary"))
+    val internal = pageSums.select(col("site").as("node")).distinct()
+      .select(col("node"), lit(Emit.RootId).as("parent"), lit(1).as("depth"))
+      .union(spark.range(1).select(lit(Emit.RootId).as("node"),
+        lit(null).cast("string").as("parent"), lit(0).as("depth")))
+    val emb = embedder
+    val rolled = hierarchyRollup(leaves, internal, summarizer)
+      .as[(String, Int, String)]
+      .map { case (node, depth, summary) =>
+        (node, if (depth == 0) Label.Project else Label.Site,
+          summary, emb.embed(summary), Seq.empty[String])
+      }
+      .toDF("node_id", "label", "summary", "summaryEmbedding",
+        "neighborSummaries")
+
+    pages.union(rolled)
   }
 
   /** Url-path hierarchy for the roll-up: leaf = page url under parent

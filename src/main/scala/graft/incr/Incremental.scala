@@ -79,8 +79,8 @@ object Incremental {
     // mark every stage in-progress BEFORE any data dir is touched: a kill
     // mid-update must not leave old manifests pointing at mixed data
     // (they are re-stamped with the new snapshot id at the end)
-    Seq("extracted", "linked", "canon", "triples", "nodes", "adjacency")
-      .foreach(s => Snapshot.invalidate(s"$outDir/$s"))
+    Seq("extracted", "linked", "canon", "triples", "nodes", "adjacency",
+      "enriched").foreach(s => Snapshot.invalidate(s"$outDir/$s"))
 
     // rebuild the FULL dirty buckets from the new snapshot (a bucket is
     // the overwrite unit; urls deleted from the snapshot vanish with it)
@@ -132,12 +132,17 @@ object Incremental {
       .write.mode(SaveMode.Overwrite).partitionBy("bucket")
       .parquet(s"$outDir/adjacency/data")
 
+    val lt = spark.read.parquet(s"$outDir/triples/data")
+      .filter(col("pred") === Pred.LinksTo).select(col("subj"), col("obj"))
+    graft.enrich.Enrich.nodeEnrichment(ex, lt)
+      .write.mode(SaveMode.Overwrite).parquet(s"$outDir/enriched/data")
+
     // stamp manifests with the new snapshot id (≙ PROJECT.commit_hash
     // stamp, clangd_graph_rag_builder.py:112-122)
     Seq("extracted" -> HtmlText.VERSION, "linked" -> "link-v1",
       "canon" -> "canon-v1", "triples" -> "emit-v1", "nodes" -> "emit-v1",
-      "adjacency" -> "emit-v1").foreach { case (stage, v) =>
-      Snapshot.stamp(spark, outDir, stage, newSnapshotId, v)
+      "adjacency" -> "emit-v1", "enriched" -> "enrich-v1").foreach {
+      case (stage, v) => Snapshot.stamp(spark, outDir, stage, newSnapshotId, v)
     }
     dirty
   }

@@ -124,6 +124,16 @@ object Pipeline {
         .withColumn("bucket", bucketOf(col("src"), nBuckets))
         .repartition(col("bucket"))
     }
+
+    // enriched node properties (summary + embedding + neighbor context)
+    // — ≙ the reference's RAG pass 7 writing summary/summaryEmbedding
+    // onto FUNCTION/FILE/FOLDER/PROJECT nodes
+    Snapshot.stage(spark, outDir, "enriched", snapshotId, "enrich-v1") {
+      val ex = extracted.drop("bucket").as[ExtractedPage]
+      val lt = triples.drop("bucket")
+        .filter(col("pred") === Pred.LinksTo).select(col("subj"), col("obj"))
+      graft.enrich.Enrich.nodeEnrichment(ex, lt)
+    }
     ()
   }
 }

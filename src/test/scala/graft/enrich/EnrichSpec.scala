@@ -51,6 +51,30 @@ class EnrichSpec extends SparkSpec {
     rolled.filter(col("depth") === 1).head().getString(2) should include("children]")
   }
 
+  test("nodeEnrichment: one enriched row per page/site + the PROJECT root") {
+    import spark.implicits._
+    val ex = Extract.run(Synth.pages(spark, cfg))
+    val nPages = ex.count()
+    val nSites = ex.select("site").distinct().count()
+    val linksTo = ex.toDF().select(col("url").as("subj"),
+      explode(col("links")).as("obj"))
+      .join(ex.toDF().select(col("url").as("obj")), Seq("obj"), "left_semi")
+    val enriched = Enrich.nodeEnrichment(ex, linksTo).cache()
+    enriched.count() shouldBe nPages + nSites + 1
+    // fake summarizer constant on pages; roll-up marker on internal nodes
+    enriched.filter(col("label") === "PAGE")
+      .filter(col("summary") =!= Enrich.FakeSummary).count() shouldBe 0L
+    enriched.filter(col("label") === "SITE").count() shouldBe nSites
+    val root = enriched.filter(col("label") === "PROJECT").collect()
+    root.length shouldBe 1
+    root.head.getAs[String]("node_id") shouldBe graft.emit.Emit.RootId
+    root.head.getAs[String]("summary") should include("children]")
+    // embeddings are 384-dim on every row
+    enriched.select(org.apache.spark.sql.functions.size(col("summaryEmbedding")).as("d"))
+      .distinct().collect().map(_.getInt(0)).toSet shouldBe Set(384)
+    enriched.unpersist()
+  }
+
   test("hierarchyRollup with no internal nodes → empty result, right schema, no NPE") {
     import spark.implicits._
     val leaves = Seq(("l1", "p", "s")).toDF("node", "parent", "summary")

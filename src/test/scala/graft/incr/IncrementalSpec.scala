@@ -76,6 +76,10 @@ class IncrementalSpec extends SparkSpec {
     triplesOf(incDir) shouldBe triplesOf(fullDir)
     nodesOf(incDir) shouldBe nodesOf(fullDir)
 
+    def enrichedOf(dir: String) = spark.read.parquet(s"$dir/enriched/data")
+      .select("node_id", "label", "summary").collect().map(_.toSeq).toSet
+    enrichedOf(incDir) shouldBe enrichedOf(fullDir)
+
     // deleted page really gone; changed page's new mention present
     val t = triplesOf(incDir)
     t.exists(r => r.head.toString.endsWith("/p/7")) shouldBe false
