@@ -60,13 +60,23 @@ object Enrich {
 
   /** Neighbor-context join (J9 analog: OPTIONAL MATCH both directions +
     * collect DISTINCT, code_graph_rag_generator.py:281-289): for each
-    * page, the sorted distinct summaries of link-neighbors in either
-    * direction. array_sort makes the output order-insensitive. */
-  def contextSummaries(linksTo: DataFrame, pageSums: DataFrame): DataFrame = {
+    * page in `pageSums`, the sorted distinct summaries of link-neighbors
+    * in either direction. array_sort makes the output order-insensitive.
+    *
+    * @param neighborSums where neighbor summaries are looked up; defaults
+    *        to `pageSums`. The incremental updater passes the FULL corpus
+    *        summary table here while `pageSums` holds only the dirty
+    *        scope — context is correct even when a neighbor lives in a
+    *        clean bucket. */
+  def contextSummaries(
+      linksTo: DataFrame,
+      pageSums: DataFrame,
+      neighborSums: Option[DataFrame] = None): DataFrame = {
+    val lookup = neighborSums.getOrElse(pageSums)
     val out = linksTo.select(col("subj").as("url"), col("obj").as("nbr"))
     val in = linksTo.select(col("obj").as("url"), col("subj").as("nbr"))
     val nbrs = out.union(in)
-      .join(pageSums.select(col("url").as("nbr"), col("summary")), Seq("nbr"))
+      .join(lookup.select(col("url").as("nbr"), col("summary")), Seq("nbr"))
       .groupBy("url")
       .agg(array_sort(collect_set(col("summary"))).as("neighborSummaries"))
     pageSums.select(col("url"), col("summary"))
@@ -131,26 +141,45 @@ object Enrich {
       linksTo: DataFrame,
       summarizer: Summarizer = FakeSummarizer,
       embedder: Embedder = new FakeEmbedder()): DataFrame = {
-    val spark = extracted.sparkSession
-    import spark.implicits._
-
     val pageSums = pageSummaries(extracted, summarizer, embedder)
+    val pages = pageNodeRows(pageSums, linksTo)
+    val leaves = pageSums.select(col("url").as("node"),
+      col("site").as("parent"), col("summary"))
+    pages.union(internalNodeRows(leaves, summarizer, embedder))
+  }
+
+  /** PAGE rows of the enriched table: pageSums + neighbor context.
+    * `neighborSums` as in contextSummaries. */
+  def pageNodeRows(
+      pageSums: DataFrame,
+      linksTo: DataFrame,
+      neighborSums: Option[DataFrame] = None): DataFrame = {
     val ctx = contextSummaries(
-      linksTo.select(col("subj"), col("obj")), pageSums)
-    val pages = pageSums
+      linksTo.select(col("subj"), col("obj")),
+      pageSums.select(col("url"), col("summary")), neighborSums)
+    pageSums
       .join(ctx.select(col("url"), col("neighborSummaries")), Seq("url"))
       .select(col("url").as("node_id"), lit(Label.Page).as("label"),
         col("summary"), col("summaryEmbedding"), col("neighborSummaries"))
+  }
 
-    // bottom-up roll-up over the emitted hierarchy: page → site → root
-    val leaves = pageSums.select(col("url").as("node"),
-      col("site").as("parent"), col("summary"))
-    val internal = pageSums.select(col("site").as("node")).distinct()
+  /** SITE + PROJECT rows: bottom-up roll-up of page summaries over the
+    * emitted hierarchy (page → site → root), each level embedded.
+    * Needs only (node, parent, summary) leaves — the incremental updater
+    * feeds it the already-materialized page summaries, so internal nodes
+    * refresh without re-summarizing any page text. */
+  def internalNodeRows(
+      leaves: DataFrame, // (node, parent, summary)
+      summarizer: Summarizer = FakeSummarizer,
+      embedder: Embedder = new FakeEmbedder()): DataFrame = {
+    val spark = leaves.sparkSession
+    import spark.implicits._
+    val internal = leaves.select(col("parent").as("node")).distinct()
       .select(col("node"), lit(Emit.RootId).as("parent"), lit(1).as("depth"))
       .union(spark.range(1).select(lit(Emit.RootId).as("node"),
         lit(null).cast("string").as("parent"), lit(0).as("depth")))
     val emb = embedder
-    val rolled = hierarchyRollup(leaves, internal, summarizer)
+    hierarchyRollup(leaves, internal, summarizer)
       .as[(String, Int, String)]
       .map { case (node, depth, summary) =>
         (node, if (depth == 0) Label.Project else Label.Site,
@@ -158,8 +187,6 @@ object Enrich {
       }
       .toDF("node_id", "label", "summary", "summaryEmbedding",
         "neighborSummaries")
-
-    pages.union(rolled)
   }
 
   /** Url-path hierarchy for the roll-up: leaf = page url under parent

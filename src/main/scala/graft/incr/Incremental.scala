@@ -8,25 +8,47 @@ import graft.model._
 import graft.pipeline.Pipeline
 import graft.canon.ConnectedComponents
 import graft.emit.Emit
+import graft.util.SaltedJoin
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Incremental rebuild — the Spark shape of the reference's GraphUpdater
   * (clangd_graph_rag_updater.py:43-82, SURVEY.md §3.2):
   *
-  *   snapshot diff (≙ git diff-tree J13) → dirty-scope expansion to
-  *   url-hash buckets → per-bucket dynamic partition OVERWRITE of the
-  *   url-keyed stage tables (≙ purge-stale + rebuild-dirty) → re-derive
-  *   downstream graph tables → stamp the new snapshot id.
+  *   snapshot diff (≙ git diff-tree J13) → dirty-scope expansion →
+  *   per-bucket dynamic partition OVERWRITE of every url-local table
+  *   (≙ purge-stale + rebuild-dirty) → global recompute ONLY of the
+  *   tables that are global by nature → stamp the new snapshot id.
   *
-  * Scale rationale: extraction + mention detection + linking dominate
-  * cost (full HTML parse per page) and are strictly url-local, so they
-  * rebuild only dirty buckets. The graph emit (triples/nodes/adjacency)
-  * is re-derived from the incrementally-maintained stage tables — it is
-  * a few cheap column-pruned joins over already-extracted rows, and
-  * relates_to/canonicalization are global by nature (same trade the
-  * reference makes when it re-runs downstream passes on the dirty
-  * scope).
+  * Scope discipline (what is rebuilt, and why it equals a full rebuild):
+  *  - extracted / aliasdf: the dirty url-hash buckets only (extraction is
+  *    strictly url-local). Buckets whose urls all vanished have their
+  *    partition directories DELETED, not left stale.
+  *  - linked: dirty buckets ∪ every bucket containing an alias whose
+  *    GLOBAL document frequency changed — a mention's winner depends only
+  *    on its own alias's df plus url-local support, so pages none of
+  *    whose aliases changed df score identically (the per-bucket aliasdf
+  *    table makes both the global df and the affected-bucket lookup
+  *    exact). Relinks score against the corpus-wide df, never the
+  *    dirty-scope df.
+  *  - triples/adjacency live as one sub-table per predicate, bucketed by
+  *    subj hash: mentions (url-local given canon) rebuild per relink
+  *    bucket — or globally when the canon map changed (checksum-compared);
+  *    links_to rebuilds for dirty buckets ∪ buckets linking to an
+  *    added/deleted url (edge validity depends on target existence);
+  *    contains rebuilds only when the url set changed; relates_to is
+  *    global by nature (cross-page co-mention dedup), recomputed from
+  *    column-pruned linked+canon — no html/text is ever re-read.
+  *  - enriched: PAGE rows rebuild for dirty buckets ∪ link-neighbor
+  *    buckets (old and new edges — context summaries read neighbors);
+  *    clean pages' summaries are REUSED from the stored table, so no
+  *    clean text is re-summarized; SITE/PROJECT roll-ups recompute from
+  *    the materialized page summaries (pruned scan, no text).
+  *
+  * `nPages` is the score-normalization constant and must equal the value
+  * used at full-build time; changing it rescales every idf and requires a
+  * full relink (pass a fresh full build instead).
   */
 object Incremental {
 
@@ -73,78 +95,283 @@ object Incremental {
 
     val d = diff(oldPages, newPages).cache()
     val dirty = dirtyBuckets(d, nBuckets)
-    d.unpersist()
-    if (dirty.isEmpty) return dirty
+    if (dirty.isEmpty) { d.unpersist(); return dirty }
+
+    // urls whose EXISTENCE changed (drives links_to/contains scoping) and
+    // urls touched in any way (drives the enriched neighbor scope)
+    val changedUrls = d.filter(col("status").isin("added", "deleted"))
+      .select(col("url")).cache()
+    val existenceChanged = !changedUrls.isEmpty
+    val touchedUrls = d.filter(col("status") =!= "unchanged")
+      .select(col("url")).cache()
 
     // mark every stage in-progress BEFORE any data dir is touched: a kill
     // mid-update must not leave old manifests pointing at mixed data
     // (they are re-stamped with the new snapshot id at the end)
-    Seq("extracted", "linked", "canon", "triples", "nodes", "adjacency",
-      "enriched").foreach(s => Snapshot.invalidate(s"$outDir/$s"))
+    Seq("extracted", "aliasdf", "linked", "canon", "triples", "nodes",
+      "adjacency", "enriched").foreach(s => Snapshot.invalidate(s"$outDir/$s"))
 
-    // rebuild the FULL dirty buckets from the new snapshot (a bucket is
-    // the overwrite unit; urls deleted from the snapshot vanish with it)
+    val exDir = s"$outDir/extracted/data"
+    val adfDir = s"$outDir/aliasdf/data"
+    val triplesDir = s"$outDir/triples/data"
+    val adjDir = s"$outDir/adjacency/data"
+    val enrichedDir = s"$outDir/enriched/data"
+
+    // snapshots of pre-update state this update still needs (collected /
+    // eager — all dictionary- or bucket-count-sized)
+    val oldDfMap = collectGlobalAliasDf(spark, adfDir)
+    val oldLinksNbrBuckets = nbrBucketsOf(
+      spark.read.parquet(s"$triplesDir/pred=links_to")
+        .select(col("subj"), col("obj")),
+      touchedUrls, nBuckets)
+    val oldCanonCk = checksumOf(
+      spark.read.parquet(s"$outDir/canon/data"),
+      Seq("entity_id", "canon_id"))
+
+    // ---- extracted: rebuild the FULL dirty buckets from the new
+    // snapshot; a bucket is the overwrite unit, and one left with zero
+    // urls is deleted outright (stale-partition bug otherwise)
     val inDirty = Pipeline.bucketOf(col("url"), nBuckets).isin(dirty: _*)
-    val pagesDirty = newPages.filter(inDirty) // Extract.run dedups by url
-
-    val extractedDirty = Extract.run(pagesDirty).toDF()
+    val extractedDirty = Extract.run(newPages.filter(inDirty)).toDF()
       .withColumn("bucket", Pipeline.bucketOf(col("url"), nBuckets))
-      .repartition(col("bucket"))
+      .cache()
+    overwriteBuckets(spark, extractedDirty, exDir, dirty)
 
-    withDynamicOverwrite(spark) {
-      extractedDirty.write.mode(SaveMode.Overwrite)
-        .partitionBy("bucket").parquet(s"$outDir/extracted/data")
-    }
+    // ---- aliasdf: same dirty buckets (df_b is bucket-local)
+    val exDirtyDs = extractedDirty.drop("bucket").as[ExtractedPage]
+    overwriteBuckets(spark,
+      Mention.detect(exDirtyDs, aliases).toDF()
+        .select(col("url"), col("alias")).distinct()
+        .groupBy(Pipeline.bucketOf(col("url"), nBuckets).as("bucket"),
+          col("alias"))
+        .agg(count(lit(1)).as("df_b")),
+      adfDir, dirty)
+    extractedDirty.unpersist()
 
-    val ex = spark.read.parquet(s"$outDir/extracted/data")
-      .drop("bucket").as[ExtractedPage]
-    val exDirty = spark.read.parquet(s"$outDir/extracted/data")
-      .filter(col("bucket").isin(dirty: _*)).drop("bucket").as[ExtractedPage]
+    // ---- relink scope: dirty ∪ buckets containing a changed-df alias
+    val newDfMap = collectGlobalAliasDf(spark, adfDir)
+    val changedAliases = (oldDfMap.keySet ++ newDfMap.keySet)
+      .filter(a => oldDfMap.getOrElse(a, 0L) != newDfMap.getOrElse(a, 0L))
+    val relink: Seq[Long] =
+      if (changedAliases.isEmpty) dirty
+      else {
+        val chDf = changedAliases.toSeq.toDF("alias")
+        val extra = spark.read.parquet(adfDir)
+          .join(broadcast(chDf), Seq("alias"), "left_semi")
+          .select(col("bucket").cast("long")).distinct()
+          .collect().map(_.getLong(0)).toSeq
+        (dirty ++ extra).distinct.sorted
+      }
 
-    val linkedDirty =
-      Link.resolve(Mention.detect(exDirty, aliases), nPages).toDF()
-        .withColumn("bucket", Pipeline.bucketOf(col("url"), nBuckets))
-        .repartition(col("bucket"))
-    withDynamicOverwrite(spark) {
-      linkedDirty.write.mode(SaveMode.Overwrite)
-        .partitionBy("bucket").parquet(s"$outDir/linked/data")
-    }
+    def readExtracted(buckets: Seq[Long]): Dataset[ExtractedPage] =
+      spark.read.parquet(exDir)
+        .filter(col("bucket").isin(buckets: _*))
+        .drop("bucket").as[ExtractedPage]
 
-    // downstream graph tables re-derived from the updated stage tables
-    val lk = spark.read.parquet(s"$outDir/linked/data")
-      .drop("bucket").as[LinkedMention]
+    // ---- relink against the GLOBAL df (incremental ≡ full rebuild)
+    val newDfDf = newDfMap.toSeq.toDF("alias", "alias_df")
+    overwriteBuckets(spark,
+      Link.resolve(Mention.detect(readExtracted(relink), aliases), nPages,
+        Some(newDfDf)).toDF()
+        .withColumn("bucket", Pipeline.bucketOf(col("url"), nBuckets)),
+      s"$outDir/linked/data", relink)
+
+    // ---- canon: recompute; a changed map moves mentions/relates rows in
+    // every bucket, so compare before deciding the mentions scope
     val entities = aliases.map(a => java.lang.Long.valueOf(a.entity_id)).distinct()
-    val canon = ConnectedComponents.canonMap(entities, sameas)
-    canon.toDF().write.mode(SaveMode.Overwrite).parquet(s"$outDir/canon/data")
+    val canonNew = ConnectedComponents.canonMap(entities, sameas).toDF()
+      .localCheckpoint()
+    val canonChanged =
+      checksumOf(canonNew, Seq("entity_id", "canon_id")) != oldCanonCk
+    canonNew.write.mode(SaveMode.Overwrite).parquet(s"$outDir/canon/data")
 
-    val triples = Emit.triples(ex, lk, canon)
-    triples.toDF()
-      .withColumn("bucket", Pipeline.bucketOf(col("subj"), nBuckets))
-      .repartition(col("bucket"))
-      .write.mode(SaveMode.Overwrite).partitionBy("bucket")
-      .parquet(s"$outDir/triples/data")
-    val t = spark.read.parquet(s"$outDir/triples/data").drop("bucket").as[TripleRow]
-    Emit.dropOrphans(Emit.nodes(ex, t, Some(newSnapshotId)), t).toDF()
-      .write.mode(SaveMode.Overwrite).parquet(s"$outDir/nodes/data")
-    Emit.adjacency(t).toDF()
-      .withColumn("bucket", Pipeline.bucketOf(col("src"), nBuckets))
-      .repartition(col("bucket"))
-      .write.mode(SaveMode.Overwrite).partitionBy("bucket")
-      .parquet(s"$outDir/adjacency/data")
+    val ex = spark.read.parquet(exDir)
+    val lk = spark.read.parquet(s"$outDir/linked/data")
+    val canon = spark.read.parquet(s"$outDir/canon/data")
 
-    val lt = spark.read.parquet(s"$outDir/triples/data")
-      .filter(col("pred") === Pred.LinksTo).select(col("subj"), col("obj"))
-    graft.enrich.Enrich.nodeEnrichment(ex, lt)
-      .write.mode(SaveMode.Overwrite).parquet(s"$outDir/enriched/data")
+    def cmOf(linked: DataFrame): DataFrame =
+      SaltedJoin.inner(linked.select(col("url"), col("entity_id")),
+          canon, "entity_id", col("url"))
+        .select(col("url"), col("canon_id")).distinct()
+
+    // ---- triples: pred=mentions (url-local given canon)
+    val mentionScope: Seq[Long] =
+      if (canonChanged) (0L until nBuckets.toLong).toSeq else relink
+    overwriteBuckets(spark,
+      cmOf(lk.filter(col("bucket").isin(mentionScope: _*)))
+        .select(col("url").as("subj"),
+          concat(lit("ent:"), col("canon_id")).as("obj"))
+        .withColumn("bucket", Pipeline.bucketOf(col("subj"), nBuckets)),
+      s"$triplesDir/pred=mentions", mentionScope)
+
+    // ---- triples: pred=links_to (validity depends on target existence)
+    val linkScope: Seq[Long] =
+      if (!existenceChanged) dirty
+      else {
+        val affected = ex
+          .select(col("url"), explode(col("links")).as("obj"))
+          .join(changedUrls.withColumnRenamed("url", "obj"), Seq("obj"),
+            "left_semi")
+          .select(Pipeline.bucketOf(col("url"), nBuckets).as("b"))
+          .distinct().collect().map(_.getLong(0)).toSeq
+        (dirty ++ affected).distinct.sorted
+      }
+    val urlSet = ex.select(col("url").as("obj"))
+    overwriteBuckets(spark,
+      ex.filter(col("bucket").isin(linkScope: _*))
+        .select(col("url").as("subj"), explode(col("links")).as("obj"))
+        .join(urlSet, Seq("obj"), "left_semi").distinct()
+        .select(col("subj"), col("obj"))
+        .withColumn("bucket", Pipeline.bucketOf(col("subj"), nBuckets)),
+      s"$triplesDir/pred=links_to", linkScope)
+
+    // ---- triples: pred=contains — only if the url set changed (a
+    // changed-only update leaves the hierarchy untouched); column-pruned
+    // (site, url) scan, no text
+    if (existenceChanged) {
+      val su = ex.select(col("site"), col("url"))
+      val contains = su.distinct()
+        .select(col("site").as("subj"), col("url").as("obj"))
+      val rootC = su.select(col("site")).distinct()
+        .select(lit(Emit.RootId).as("subj"), col("site").as("obj"))
+      replaceSubtree(
+        contains.union(rootC)
+          .withColumn("bucket", Pipeline.bucketOf(col("subj"), nBuckets)),
+        s"$triplesDir/pred=contains")
+    }
+
+    // ---- triples: pred=relates_to — global by nature (cross-page
+    // co-mention dedup); column-pruned linked+canon, no text
+    val cmAll = cmOf(lk)
+    replaceSubtree(
+      cmAll.as("a").join(cmAll.as("b"), Seq("url"))
+        .filter(col("a.canon_id") < col("b.canon_id"))
+        .select(concat(lit("ent:"), col("a.canon_id")).as("subj"),
+          concat(lit("ent:"), col("b.canon_id")).as("obj"))
+        .distinct()
+        .withColumn("bucket", Pipeline.bucketOf(col("subj"), nBuckets)),
+      s"$triplesDir/pred=relates_to")
+
+    // ---- adjacency mirrors the triples writes 1:1 (each pred sub-table
+    // is already distinct on (subj, obj), so adjacency is a reorder)
+    def adjacencyFor(pred: String, scope: Option[Seq[Long]]): Unit = {
+      val t = spark.read.parquet(s"$triplesDir/pred=$pred")
+      val rows = scope.map(bs => t.filter(col("bucket").isin(bs: _*)))
+        .getOrElse(t)
+        .select(col("subj").as("src"), col("obj").as("dst"), col("bucket"))
+      scope match {
+        case Some(bs) => overwriteBuckets(spark, rows, s"$adjDir/pred=$pred", bs)
+        case None => replaceSubtree(rows, s"$adjDir/pred=$pred")
+      }
+    }
+    adjacencyFor("mentions", Some(mentionScope))
+    adjacencyFor("links_to", Some(linkScope))
+    if (existenceChanged) adjacencyFor("contains", None)
+    adjacencyFor("relates_to", None)
+
+    // ---- nodes: global but column-pruned (sites/urls/props + endpoints)
+    val tAll = spark.read.parquet(triplesDir)
+      .select(col("subj"), col("pred"), col("obj")).as[TripleRow]
+    val exAll = ex.drop("bucket").as[ExtractedPage]
+    Emit.dropOrphans(Emit.nodes(exAll, tAll, Some(newSnapshotId)), tAll)
+      .toDF().write.mode(SaveMode.Overwrite).parquet(s"$outDir/nodes/data")
+
+    // ---- enriched: PAGE rows for dirty ∪ link-neighbor buckets (old and
+    // new edges); clean summaries reused, roll-ups from materialized
+    // summaries
+    val linksToNew = spark.read.parquet(s"$triplesDir/pred=links_to")
+      .select(col("subj"), col("obj"))
+    val enrScope = (dirty ++ oldLinksNbrBuckets ++
+      nbrBucketsOf(linksToNew, touchedUrls, nBuckets)).distinct.sorted
+    val scopeSums = graft.enrich.Enrich.pageSummaries(readExtracted(enrScope))
+    val cleanSums = spark.read.parquet(enrichedDir)
+      .filter(col("label") === Label.Page &&
+        !col("bucket").isin(enrScope: _*))
+      .select(col("node_id").as("url"), col("summary"))
+    val allSums = scopeSums.select(col("url"), col("summary")).union(cleanSums)
+    overwriteBuckets(spark,
+      graft.enrich.Enrich.pageNodeRows(scopeSums, linksToNew, Some(allSums))
+        .withColumn("bucket", Pipeline.bucketOf(col("node_id"), nBuckets))
+        .localCheckpoint(), // sever lineage: reads the table it rewrites
+      enrichedDir, enrScope)
+    val leaves = spark.read.parquet(enrichedDir)
+      .filter(col("label") === Label.Page)
+      .select(col("node_id").as("url"), col("summary"))
+      .join(ex.select(col("url"), col("site")), Seq("url"))
+      .select(col("url").as("node"), col("site").as("parent"), col("summary"))
+    val internalRows = graft.enrich.Enrich.internalNodeRows(leaves)
+      .withColumn("bucket", lit(-1L)).localCheckpoint()
+    withDynamicOverwrite(spark) {
+      internalRows.write.mode(SaveMode.Overwrite)
+        .partitionBy("bucket").parquet(enrichedDir)
+    }
 
     // stamp manifests with the new snapshot id (≙ PROJECT.commit_hash
     // stamp, clangd_graph_rag_builder.py:112-122)
-    Seq("extracted" -> HtmlText.VERSION, "linked" -> "link-v1",
-      "canon" -> "canon-v1", "triples" -> "emit-v1", "nodes" -> "emit-v1",
-      "adjacency" -> "emit-v1", "enriched" -> "enrich-v1").foreach {
+    Seq("extracted" -> HtmlText.VERSION, "aliasdf" -> "link-v1",
+      "linked" -> "link-v1", "canon" -> "canon-v1", "triples" -> "emit-v1",
+      "nodes" -> "emit-v1", "adjacency" -> "emit-v1",
+      "enriched" -> "enrich-v1").foreach {
       case (stage, v) => Snapshot.stamp(spark, outDir, stage, newSnapshotId, v)
     }
+    changedUrls.unpersist()
+    touchedUrls.unpersist()
+    d.unpersist()
     dirty
+  }
+
+  // ------------------------------------------------------------ helpers
+
+  private def collectGlobalAliasDf(
+      spark: SparkSession, adfDir: String): Map[String, Long] =
+    Pipeline.globalAliasDf(spark.read.parquet(adfDir))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  /** Order-insensitive (count, xor-of-row-hashes) checksum. */
+  private def checksumOf(df: DataFrame, cols: Seq[String]): (Long, Long) = {
+    val r = df.agg(
+      count(lit(1)).as("c"),
+      coalesce(bit_xor(xxhash64(cols.map(col): _*)), lit(0L)).as("s")).head()
+    (r.getLong(0), r.getLong(1))
+  }
+
+  /** Buckets of link-neighbors (either direction) of `urls`. */
+  private def nbrBucketsOf(
+      links: DataFrame, urls: DataFrame, nBuckets: Int): Seq[Long] =
+    links.join(urls.withColumnRenamed("url", "subj"), Seq("subj"), "left_semi")
+      .select(col("obj").as("u"))
+      .union(links
+        .join(urls.withColumnRenamed("url", "obj"), Seq("obj"), "left_semi")
+        .select(col("subj").as("u")))
+      .select(Pipeline.bucketOf(col("u"), nBuckets).as("b")).distinct()
+      .collect().map(_.getLong(0)).toSeq
+
+  /** Dynamic-partition-overwrite `df` (which carries a `bucket` column)
+    * into `dir`, then DELETE every `scope` bucket directory that received
+    * no rows — a bucket whose rows all vanished must not survive stale. */
+  private def overwriteBuckets(
+      spark: SparkSession, df: DataFrame, dir: String,
+      scope: Seq[Long]): Unit = {
+    val dfc = df.localCheckpoint() // one materialization; severs self-reads
+    val written = dfc.select(col("bucket").cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    withDynamicOverwrite(spark) {
+      dfc.repartition(col("bucket")).write.mode(SaveMode.Overwrite)
+        .partitionBy("bucket").parquet(dir)
+    }
+    scope.filterNot(written).foreach(b => deletePath(spark, s"$dir/bucket=$b"))
+  }
+
+  /** Full replace of one pred sub-table (still bucket-partitioned). */
+  private def replaceSubtree(df: DataFrame, dir: String): Unit =
+    df.repartition(col("bucket")).write.mode(SaveMode.Overwrite)
+      .partitionBy("bucket").parquet(dir)
+
+  private def deletePath(spark: SparkSession, path: String): Unit = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(p, true)
+    ()
   }
 
   private def withDynamicOverwrite[T](spark: SparkSession)(body: => T): T = {

@@ -87,7 +87,7 @@ object Snapshot {
         val rows = committed.count()
         val wallMs = (System.nanoTime() - t0) / 1000000L
         appendLineage(spark, baseDir, stageName, snapshotId, committed,
-          partitionCols.headOption, rowsIn, version, wallMs)
+          partitionCols.find(_ == "bucket"), rowsIn, version, wallMs)
         writeManifest(dir, Manifest(snapshotId, version, rows, wallMs))
         committed
     }

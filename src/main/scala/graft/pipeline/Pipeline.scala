@@ -69,6 +69,12 @@ object Pipeline {
   def bucketOf(c: org.apache.spark.sql.Column, nBuckets: Int) =
     pmod(xxhash64(c), lit(nBuckets.toLong))
 
+  /** Global (alias, alias_df) from the per-bucket aliasdf table — exact
+    * because urls are bucket-disjoint. */
+  def globalAliasDf(aliasdf: DataFrame): DataFrame =
+    aliasdf.groupBy(col("alias"))
+      .agg(sum(col("df_b")).cast("long").as("alias_df"))
+
   /** Staged build with checkpoints; every stage resumes from its last
     * committed snapshot (kill-and-resume safe — SURVEY.md §7.6). */
   def build(
@@ -89,11 +95,25 @@ object Pipeline {
         .repartition(col("bucket"))
     }
 
+    // per-bucket alias document frequency: urls are bucket-disjoint, so
+    // the global df is the exact per-bucket sum — the incremental updater
+    // maintains this table per dirty bucket and detects which aliases'
+    // global df changed (those buckets must relink)
+    val aliasdf = Snapshot.stage(spark, outDir, "aliasdf", snapshotId,
+      "link-v1", Seq("bucket")) {
+      val ex = extracted.drop("bucket").as[ExtractedPage]
+      Mention.detect(ex, aliases).toDF()
+        .select(col("url"), col("alias")).distinct()
+        .groupBy(bucketOf(col("url"), nBuckets).as("bucket"), col("alias"))
+        .agg(count(lit(1)).as("df_b"))
+        .repartition(col("bucket"))
+    }
+
     val linked = Snapshot.stage(spark, outDir, "linked", snapshotId, "link-v1",
       Seq("bucket")) {
       val ex = extracted.drop("bucket").as[ExtractedPage]
       val cands = Mention.detect(ex, aliases)
-      Link.resolve(cands, nPages).toDF()
+      Link.resolve(cands, nPages, Some(globalAliasDf(aliasdf))).toDF()
         .withColumn("bucket", bucketOf(col("url"), nBuckets))
         .repartition(col("bucket"))
     }
@@ -103,36 +123,49 @@ object Pipeline {
       ConnectedComponents.canonMap(entities, sameas).toDF()
     }
 
+    // triples live as one sub-table per predicate, bucketed by subj hash:
+    // mentions/links_to are url-local (their partition = the url's
+    // bucket), so incremental updates overwrite exactly the dirty
+    // (pred, bucket) leaves; queries touching one predicate get partition
+    // pruning for free
     val triples = Snapshot.stage(spark, outDir, "triples", snapshotId,
-      "emit-v1", Seq("bucket")) {
+      "emit-v1", Seq("pred", "bucket")) {
       val ex = extracted.drop("bucket").as[ExtractedPage]
       val lk = linked.drop("bucket").as[LinkedMention]
       Emit.triples(ex, lk, canon.as[CanonRow]).toDF()
         .withColumn("bucket", bucketOf(col("subj"), nBuckets))
-        .repartition(col("bucket"))
+        .repartition(col("pred"), col("bucket"))
     }
 
     Snapshot.stage(spark, outDir, "nodes", snapshotId, "emit-v1") {
       val ex = extracted.drop("bucket").as[ExtractedPage]
-      val t = triples.drop("bucket").as[TripleRow]
-      Emit.dropOrphans(Emit.nodes(ex, t, Some(snapshotId)), t).toDF()
+      val td = triples.select(col("subj"), col("pred"), col("obj")).as[TripleRow]
+      Emit.dropOrphans(Emit.nodes(ex, td, Some(snapshotId)), td).toDF()
     }
 
     Snapshot.stage(spark, outDir, "adjacency", snapshotId, "emit-v1",
-      Seq("bucket")) {
-      Emit.adjacency(triples.drop("bucket").as[TripleRow]).toDF()
+      Seq("pred", "bucket")) {
+      val td = triples.select(col("subj"), col("pred"), col("obj")).as[TripleRow]
+      Emit.adjacency(td).toDF()
         .withColumn("bucket", bucketOf(col("src"), nBuckets))
-        .repartition(col("bucket"))
+        .repartition(col("pred"), col("bucket"))
     }
 
     // enriched node properties (summary + embedding + neighbor context)
     // — ≙ the reference's RAG pass 7 writing summary/summaryEmbedding
-    // onto FUNCTION/FILE/FOLDER/PROJECT nodes
-    Snapshot.stage(spark, outDir, "enriched", snapshotId, "enrich-v1") {
+    // onto FUNCTION/FILE/FOLDER/PROJECT nodes. PAGE rows are bucketed by
+    // url hash (incrementally maintainable); SITE/PROJECT roll-up rows
+    // live in bucket -1.
+    Snapshot.stage(spark, outDir, "enriched", snapshotId, "enrich-v1",
+      Seq("bucket")) {
       val ex = extracted.drop("bucket").as[ExtractedPage]
-      val lt = triples.drop("bucket")
+      val lt = triples
         .filter(col("pred") === Pred.LinksTo).select(col("subj"), col("obj"))
       graft.enrich.Enrich.nodeEnrichment(ex, lt)
+        .withColumn("bucket",
+          when(col("label") === lit(graft.model.Label.Page),
+            bucketOf(col("node_id"), nBuckets)).otherwise(lit(-1L)))
+        .repartition(col("bucket"))
     }
     ()
   }

@@ -89,6 +89,94 @@ class IncrementalSpec extends SparkSpec {
     graft.meta.Snapshot.readManifest(s"$incDir/triples").get.snapshotId shouldBe "snap-new"
   }
 
+  private def fileSet(dir: String): Set[String] = {
+    val p = java.nio.file.Paths.get(dir)
+    if (!Files.exists(p)) Set.empty
+    else {
+      val s = java.nio.file.Files.walk(p)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.map(_.toString)
+          .filter(_.endsWith(".parquet")).toSet
+      } finally s.close()
+    }
+  }
+
+  test("text-only change rewrites ONLY the dirty bucket's url-local partitions") {
+    val dir = Files.createTempDirectory("graft-gran").toString
+    Pipeline.build(spark, oldPages, Synth.aliases(spark, cfg),
+      Synth.sameAs(spark, cfg), cfg.nPages, dir, "snap-old", N)
+
+    // append NON-alias filler to one page: its bucket is dirty, but its
+    // alias set (hence every alias df) is unchanged → relink scope is
+    // exactly that bucket
+    val newP = oldPages.map { p =>
+      if (p.url.endsWith("/p/3"))
+        p.copy(
+          warc_ts = new Timestamp(p.warc_ts.getTime + 7200000L),
+          html = (new String(p.html, "UTF-8")
+            .replace("</body>", "<p>zzzfiller qqqfiller</p></body>"))
+            .getBytes("UTF-8"))
+      else p
+    }
+    val targetUrl = oldPages.filter(col("url").endsWith("/p/3")).head().url
+    val b = spark.createDataset(Seq(targetUrl)).toDF("url")
+      .select(Pipeline.bucketOf(col("url"), N)).head().getLong(0)
+
+    val urlLocal = Seq("extracted/data", "aliasdf/data", "linked/data",
+      "triples/data/pred=mentions", "triples/data/pred=links_to",
+      "adjacency/data/pred=mentions", "adjacency/data/pred=links_to")
+    val before = (for (t <- urlLocal; i <- 0 until N)
+      yield s"$t/bucket=$i" -> fileSet(s"$dir/$t/bucket=$i")).toMap
+    val containsBefore = fileSet(s"$dir/triples/data/pred=contains")
+
+    val dirty = Incremental.update(spark, oldPages, newP,
+      Synth.aliases(spark, cfg), Synth.sameAs(spark, cfg), cfg.nPages,
+      dir, "snap-new", N)
+    dirty shouldBe Seq(b)
+
+    for (t <- urlLocal; i <- 0 until N) {
+      val now = fileSet(s"$dir/$t/bucket=$i")
+      withClue(s"$t/bucket=$i (dirty bucket = $b): ") {
+        if (i.toLong == b) now should not be before(s"$t/bucket=$i")
+        else now shouldBe before(s"$t/bucket=$i")
+      }
+    }
+    // no urls were added/deleted → the contains hierarchy is untouched
+    fileSet(s"$dir/triples/data/pred=contains") shouldBe containsBefore
+  }
+
+  test("a bucket whose urls are ALL deleted loses its partitions entirely") {
+    val incDir = Files.createTempDirectory("graft-del").toString
+    val fullDir = Files.createTempDirectory("graft-del-full").toString
+    Pipeline.build(spark, oldPages, Synth.aliases(spark, cfg),
+      Synth.sameAs(spark, cfg), cfg.nPages, incDir, "snap-old", N)
+
+    val b = oldPages.toDF()
+      .select(Pipeline.bucketOf(col("url"), N).as("b"))
+      .groupBy("b").count().orderBy("b").head().getLong(0)
+    val newP = oldPages.toDF()
+      .filter(Pipeline.bucketOf(col("url"), N) =!= b).as[PageRow]
+
+    val dirty = Incremental.update(spark, oldPages, newP,
+      Synth.aliases(spark, cfg), Synth.sameAs(spark, cfg), cfg.nPages,
+      incDir, "snap-new", N)
+    dirty should contain(b)
+
+    for (t <- Seq("extracted/data", "aliasdf/data", "linked/data",
+      "triples/data/pred=mentions", "enriched/data"))
+      withClue(s"$t/bucket=$b: ") {
+        Files.exists(java.nio.file.Paths.get(s"$incDir/$t/bucket=$b")) shouldBe false
+      }
+
+    // and the result still equals a fresh full build of the new snapshot
+    Pipeline.build(spark, newP, Synth.aliases(spark, cfg),
+      Synth.sameAs(spark, cfg), cfg.nPages, fullDir, "snap-new", N)
+    def triplesOf(dir: String) = spark.read.parquet(s"$dir/triples/data")
+      .select("subj", "pred", "obj").collect().map(_.toSeq).toSet
+    triplesOf(incDir) shouldBe triplesOf(fullDir)
+  }
+
   test("no-op update (identical snapshots) touches nothing") {
     val d = Incremental.diff(oldPages, oldPages)
     Incremental.dirtyBuckets(d, N) shouldBe empty
