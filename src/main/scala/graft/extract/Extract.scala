@@ -51,6 +51,30 @@ object Extract {
       text_sha256 = HtmlText.sha256Hex(text))
   }
 
+  /** Version-adaptive strategy dispatch (P5) — ≙ the reference inspecting
+    * the DATA, not configuration, to pick its parse strategy
+    * (has_container_field / has_call_kind inference,
+    * clangd_index_yaml_parser.py:276-281, feeding the extractor pick at
+    * clangd_graph_rag_builder.py:160-168): sample a bounded prefix of the
+    * corpus; if at least half the payloads carry html structure, use the
+    * tag-aware extractor, else the plain-text fallback. One tiny
+    * aggregate, same shape as Mention's maxLen inference. */
+  def inferExtractor(pages: Dataset[PageRow], sampleSize: Int = 256): TextExtractor = {
+    val r = pages.toDF().limit(sampleSize)
+      .select(when(
+        instr(lower(col("html").cast("string")), "<html") > 0 ||
+          instr(lower(col("html").cast("string")), "<body") > 0,
+        1L).otherwise(0L).as("is_html"))
+      .agg(count(lit(1)).as("n"), coalesce(sum(col("is_html")), lit(0L)).as("h"))
+      .head()
+    if (r.getLong(0) == 0L || r.getLong(1) * 2 >= r.getLong(0)) HtmlTextExtractor
+    else PlainTextExtractor
+  }
+
+  /** `run` with the data-inferred strategy. */
+  def runAuto(pages: Dataset[PageRow]): Dataset[ExtractedPage] =
+    run(pages, inferExtractor(pages))
+
   /** Extract FIRST (pure map over input splits — the html payload never
     * crosses a shuffle), then url-dedup on the much smaller extracted
     * rows. Duplicate urls are ~2% of a crawl, so the surplus extraction

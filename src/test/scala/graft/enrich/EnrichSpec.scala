@@ -91,6 +91,16 @@ class EnrichSpec extends SparkSpec {
     PlainTextExtractor.version shouldBe "plain-v1"
   }
 
+  test("data-inferred extractor dispatch: html corpus → tag-aware, plain → fallback") {
+    import spark.implicits._
+    Extract.inferExtractor(Synth.pages(spark, cfg)).version shouldBe
+      graft.extract.HtmlText.VERSION
+    val plain = Synth.pages(spark, cfg)
+      .map(p => p.copy(html = "just words and no tags".getBytes("UTF-8")))
+    Extract.inferExtractor(plain).version shouldBe "plain-v1"
+    Extract.runAuto(plain).head().text shouldBe "just words and no tags"
+  }
+
   test("UrlKit percent-decode policy") {
     UrlKit.percentDecode("a%20b%2Fc") shouldBe "a b/c"
     UrlKit.percentDecode("caf%C3%A9") shouldBe "café"
