@@ -253,6 +253,10 @@ object SparkEntry {
           col("width"), col("height"), col("n_bytes"))
         .orderBy("media_id")
     }),
+    // ---- all-pairs embedding cosine ≥ τ via SRP-bucket join ----
+    "q31_cosine_pairs" -> ((s, d) =>
+      AnnOps.cosinePairs(rd(s, d, "embeddings"), "vec_id", "embedding",
+        tau = 0.2).orderBy("id_a", "id_b")),
     // ---- J9 neighbor-context collect join (enrichment context shape) ----
     "q30_context_join" -> ((s, d) => {
       val docs = rd(s, d, "documents")
@@ -277,11 +281,16 @@ object SparkEntry {
   /** q25's SRP hyperplanes inlined as DuckDB list literals (identical
     * deterministic values as the lshTopK call: seed 42, 8 planes, dim 64)
     * so the oracle reproduces the exact buckets, probes, and re-rank. */
-  private def q25OracleSql: String = {
-    val planes = (0 until 8).map { p =>
+  /** SRP hyperplanes (seed 42, dim 64) as DuckDB VALUES rows — the same
+    * deterministic doubles the Spark plans inline via lit(...). */
+  private def planeLiterals(nPlanes: Int): String =
+    (0 until nPlanes).map { p =>
       val vs = AnnOps.hyperplane(42L, p, 64).map(_.toString).mkString(", ")
       s"($p, [$vs]::DOUBLE[])"
     }.mkString(",\n  ")
+
+  private def q25OracleSql: String = {
+    val planes = planeLiterals(8)
     s"""WITH planes(pid, pv) AS (VALUES
        |  $planes),
        |bucketed AS (
@@ -304,6 +313,31 @@ object SparkEntry {
        |FROM bucketed b, qv
        |WHERE b.bucket IN (SELECT pb FROM probes)
        |ORDER BY cos DESC, id LIMIT 10""".stripMargin
+  }
+
+  /** All-pairs cosine ≥ τ restricted to SRP-bucket collisions (recall <1
+    * by design — the oracle reproduces the same bucketing exactly). */
+  private def q31OracleSql: String = {
+    val planes = planeLiterals(6)
+    s"""WITH planes(pid, pv) AS (VALUES
+       |  $planes),
+       |b AS (
+       |  SELECT e.vec_id AS id, e.embedding AS emb,
+       |    CAST(sum(CASE WHEN list_sum([e.embedding[i]::DOUBLE * p.pv[i]
+       |                   for i in range(1, 65)]) >= 0
+       |             THEN (1::BIGINT << p.pid) ELSE 0 END) AS BIGINT) AS bucket
+       |  FROM embeddings e CROSS JOIN planes p
+       |  GROUP BY e.vec_id, e.embedding)
+       |SELECT id_a, id_b, round(cos, 6) AS cos FROM (
+       |  SELECT a.id AS id_a, b2.id AS id_b,
+       |    list_sum([a.emb[i]::DOUBLE * b2.emb[i]::DOUBLE
+       |              for i in range(1, 65)]) /
+       |    (sqrt(list_sum([a.emb[i]::DOUBLE * a.emb[i]::DOUBLE
+       |              for i in range(1, 65)])) *
+       |     sqrt(list_sum([b2.emb[i]::DOUBLE * b2.emb[i]::DOUBLE
+       |              for i in range(1, 65)]))) AS cos
+       |  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.id < b2.id)
+       |WHERE cos >= 0.2 ORDER BY id_a, id_b""".stripMargin
   }
 
   def oracleSql: Map[String, String] = Map(
@@ -339,6 +373,7 @@ object SparkEntry {
         |SELECT id_a, id_b, CAST(hamming AS INTEGER) AS hamming
         |FROM pairs WHERE hamming <= 3 ORDER BY id_a, id_b""".stripMargin,
     "q25_ann_lsh" -> q25OracleSql,
+    "q31_cosine_pairs" -> q31OracleSql,
     // context-join shape: string_agg(DISTINCT .. ORDER BY) mirrors
     // array_join(array_sort(collect_set(..)))
     "q30_context_join" ->

@@ -1,0 +1,85 @@
+package graft.tools
+
+import graft.pipeline.Pipeline
+import graft.synth.{Synth, SynthConfig}
+import org.apache.spark.sql.SparkSession
+
+/** Scaling-efficiency evidence with REAL separate executor JVMs:
+  * `local-cluster[N, cores, mem]` launches N worker processes on this
+  * box, each with its own heap, GC, and codegen cache — the closest
+  * sandbox analog to N cluster executors, and free of the single-JVM
+  * memory-bandwidth/GC coupling that muddied the plain local[k]
+  * comparison (BENCH/BASELINE.md round 1).
+  *
+  *   sbt package && sbt "runMain graft.tools.ClusterScalingBench <workers> <coresPerWorker> <nPages>"
+  *
+  * Same protocol as ScalingBench: materialized parquet input shared
+  * across runs, warm-up out of the window, min-of-3 trials, one JSON
+  * line out. Compare workers=2 vs workers=8 at equal coresPerWorker for
+  * the N→4N story.
+  */
+object ClusterScalingBench {
+  def main(args: Array[String]): Unit = {
+    val nWorkers = args(0).toInt
+    val coresPerWorker = args(1).toInt
+    val nPages = if (args.length > 2) args(2).toLong else 50000L
+    val totalCores = nWorkers * coresPerWorker
+
+    val jar = new java.io.File(
+      "target/scala-2.13/clangdtoneo4jspark_2.13-0.1.0.jar").getAbsolutePath
+    require(new java.io.File(jar).exists(), s"run `sbt package` first: $jar")
+    // executor JVMs are forked by the worker and need the same JDK17
+    // --add-opens set build.sbt gives the driver
+    val addOpens = Seq(
+      "java.base/java.lang", "java.base/java.lang.invoke",
+      "java.base/java.lang.reflect", "java.base/java.io",
+      "java.base/java.net", "java.base/java.nio",
+      "java.base/java.util", "java.base/java.util.concurrent",
+      "java.base/java.util.concurrent.atomic",
+      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+      "java.base/sun.security.action", "java.base/sun.util.calendar")
+      .map(p => s"--add-opens=$p=ALL-UNNAMED").mkString(" ")
+
+    val spark = SparkSession.builder()
+      .master(s"local-cluster[$nWorkers, $coresPerWorker, 4096]")
+      .appName(s"graft-cluster-scaling-$nWorkers-x-$coresPerWorker")
+      .config("spark.sql.shuffle.partitions", totalCores.toString)
+      .config("spark.jars", jar)
+      .config("spark.executor.memory", "4g")
+      .config("spark.executor.extraJavaOptions", addOpens)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.local.dir", "/dev/shm/graft-spark")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val cfg = SynthConfig(nPages = nPages, nSites = 50, nEntities = 1000,
+      fillerParas = 30, mentionSlots = 12)
+    val inputDir = s"/dev/shm/graft-bench-input-$nPages"
+    if (!new java.io.File(s"$inputDir/_SUCCESS").exists())
+      Synth.pages(spark, cfg).write.mode("overwrite").parquet(inputDir)
+    def readPages() = spark.read.parquet(inputDir).as[graft.model.PageRow]
+
+    val warm = Pipeline.run(readPages().limit(1000),
+      Synth.aliases(spark, cfg), Synth.sameAs(spark, cfg), 1000L)
+    warm.triples.count()
+    warm.unpersist()
+
+    val trials = (1 to 3).map { _ =>
+      val t0 = System.nanoTime()
+      val g = Pipeline.run(readPages(), Synth.aliases(spark, cfg),
+        Synth.sameAs(spark, cfg), cfg.nPages)
+      val triples = g.triples.count()
+      val secs = (System.nanoTime() - t0) / 1e9
+      g.unpersist()
+      secs -> triples
+    }
+    val (secs, triples) = trials.minBy(_._1)
+    println(f"""{"bench":"cluster-scaling","workers":$nWorkers,""" +
+      f""""cores_per_worker":$coresPerWorker,"pages":$nPages,""" +
+      f""""triples":$triples,"secs":$secs%.2f,""" +
+      f""""docs_per_sec":${nPages / secs}%.1f}""")
+    spark.stop()
+  }
+}
