@@ -35,26 +35,41 @@ object Bench {
     // ScalingBench so docs/sec is comparable across BENCH/BASELINE.md.
     // Input is a materialized parquet table (north rule: pages arrive
     // as a table); generation is not part of the measured pipeline.
-    val cfg = SynthConfig(nPages = kgPages, nSites = 50, nEntities = 1000,
-      fillerParas = 30, mentionSlots = 12)
     import spark.implicits._
-    val inputDir = s"/dev/shm/graft-bench-input-$kgPages"
-    if (!new java.io.File(s"$inputDir/_SUCCESS").exists())
-      Synth.pages(spark, cfg).write.mode("overwrite").parquet(inputDir)
     var kgTriples = 0L
-    def kgOnce(): Double = time {
-      val g = Pipeline.run(
-        spark.read.parquet(inputDir).as[graft.model.PageRow],
-        Synth.aliases(spark, cfg), Synth.sameAs(spark, cfg), cfg.nPages)
-      kgTriples = g.triples.count()
-      g.unpersist()
+    def kgOnce(pages: Long): Double = {
+      val cfg = SynthConfig(nPages = pages, nSites = 50, nEntities = 1000,
+        fillerParas = 30, mentionSlots = 12)
+      val inputDir = s"/dev/shm/graft-bench-input-$pages"
+      if (!new java.io.File(s"$inputDir/_SUCCESS").exists())
+        Synth.pages(spark, cfg).write.mode("overwrite").parquet(inputDir)
+      // wide-binary corpus (≈20 KB html/row): the default 4096-row
+      // vectorized-reader batch costs ~80 MB per concurrent reader — 512
+      // keeps 32 readers + the pipeline cache inside the heap. Scoped to
+      // the KG leg only: narrow-row query scans prefer the default.
+      spark.conf.set("spark.sql.parquet.columnarReaderBatchSize", "512")
+      try time {
+        val g = Pipeline.run(
+          spark.read.parquet(inputDir).as[graft.model.PageRow],
+          Synth.aliases(spark, cfg), Synth.sameAs(spark, cfg), cfg.nPages)
+        kgTriples = g.triples.count()
+        g.unpersist()
+      } finally spark.conf.unset("spark.sql.parquet.columnarReaderBatchSize")
     }
     // Warm-up + min-of-3: the first Spark jobs in a JVM pay JIT + codegen
     // compile, which is harness overhead, not engine throughput (same
     // protocol as tools/ScalingBench). Round-1 reported the cold run and
     // under-stated docs/sec by ~10x.
-    kgOnce()
-    val kgSecs = (1 to 3).map(_ => kgOnce()).min
+    kgOnce(kgPages)
+    val kgSecs = (1 to 3).map(_ => kgOnce(kgPages)).min
+    val kgTriples20k = kgTriples
+    // a 20k-page run on 32 cores is latency-dominated (~3.5 s of driver/
+    // job fixed cost); a 5x corpus shows the amortized engine rate the
+    // 100 TB target actually cares about — both are reported
+    val kgBigPages = kgPages * 5
+    val kgBigSecs = (1 to 2).map(_ => kgOnce(kgBigPages)).min
+    val kgBigTriples = kgTriples
+    kgTriples = kgTriples20k
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val secs = time {
@@ -70,8 +85,10 @@ object Bench {
     val total = results.map(_._2).sum + kgSecs
     println(
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","""
-        + f""""kg_pages":${cfg.nPages},"kg_triples":$kgTriples,"kg_secs":$kgSecs%.3f,"""
-        + f""""kg_docs_per_sec":${cfg.nPages / kgSecs}%.1f,"kg_triples_per_sec":${kgTriples / kgSecs}%.1f,"cpus":"$cpus"}""")
+        + f""""kg_pages":$kgPages,"kg_triples":$kgTriples,"kg_secs":$kgSecs%.3f,"""
+        + f""""kg_docs_per_sec":${kgPages / kgSecs}%.1f,"kg_triples_per_sec":${kgTriples / kgSecs}%.1f,"""
+        + f""""kg_big_pages":$kgBigPages,"kg_big_secs":$kgBigSecs%.3f,"""
+        + f""""kg_big_docs_per_sec":${kgBigPages / kgBigSecs}%.1f,"kg_big_triples_per_sec":${kgBigTriples / kgBigSecs}%.1f,"cpus":"$cpus"}""")
     spark.stop()
   }
 }

@@ -78,15 +78,50 @@ object ConnectedComponents {
   }
 
   /** Full canonical map over a universe of entity ids: component minima
-    * from `edges`, identity for untouched entities. */
-  def canonMap(entities: Dataset[java.lang.Long], edges: Dataset[SameAsEdge]): Dataset[CanonRow] = {
+    * from `edges`, identity for untouched entities.
+    *
+    * Fast path: the same-as edge set is bounded by the entity VOCABULARY
+    * (dictionary-sized — the alias dict is already broadcast elsewhere),
+    * not the corpus, so when it fits the driver (`driverThreshold`) a
+    * driver-side union-find replaces the multi-round star-contraction
+    * fixpoint: one collect + a broadcast map instead of ~5 rounds × 1 job
+    * each (measured 4.2 s of pure round overhead at 20k pages). The
+    * distributed path remains for genuinely large graphs (q27 exercises
+    * it directly). Both produce component-min semantics — the property
+    * spec checks CC ≡ union-find. */
+  def canonMap(
+      entities: Dataset[java.lang.Long],
+      edges: Dataset[SameAsEdge],
+      driverThreshold: Long = 1L << 20): Dataset[CanonRow] = {
     val spark = entities.sparkSession
     import spark.implicits._
-    val cc = run(edges.toDF("u", "v"))
-    entities.toDF("entity_id")
-      .join(cc.withColumnRenamed("u", "entity_id"), Seq("entity_id"), "left")
-      .select(col("entity_id"),
-        coalesce(col("v"), col("entity_id")).as("canon_id"))
-      .as[CanonRow]
+    val e = edges.toDF("u", "v")
+    // one job: take(threshold+1) both answers "does it fit" and fetches
+    // the edges when it does
+    val taken = e.select(col("u").cast("long"), col("v").cast("long"))
+      .take((driverThreshold + 1).toInt)
+    if (taken.length <= driverThreshold) {
+      val pairs = taken.map(r => (r.getLong(0), r.getLong(1)))
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(ra) = rb
+      }
+      val members = (pairs.flatMap(p => Seq(p._1, p._2))).distinct
+      val compMin: Map[Long, Long] = members.groupBy(find)
+        .flatMap { case (_, ms) => val m = ms.min; ms.map(_ -> m) }
+      val mapB = spark.sparkContext.broadcast(compMin)
+      entities.map(e0 => CanonRow(e0, mapB.value.getOrElse(e0, e0)))
+    } else {
+      val cc = run(e)
+      entities.toDF("entity_id")
+        .join(cc.withColumnRenamed("u", "entity_id"), Seq("entity_id"), "left")
+        .select(col("entity_id"),
+          coalesce(col("v"), col("entity_id")).as("canon_id"))
+        .as[CanonRow]
+    }
   }
 }

@@ -37,10 +37,21 @@ object Emit {
       saltSource = col("url"))
   }
 
+  /** Distinct (url, canon_id) page-entity pairs — the shared input of the
+    * mentions and relates_to branches. Callers that consume triples in
+    * one action should persist this (Pipeline.run does) so the salted
+    * canon join runs once, not once per branch. */
+  def pageEntities(
+      linked: Dataset[LinkedMention],
+      canon: Dataset[CanonRow]): DataFrame =
+    canonicalMentions(linked, canon)
+      .select(col("url"), col("canon_id")).distinct()
+
   def triples(
       extracted: Dataset[ExtractedPage],
       linked: Dataset[LinkedMention],
-      canon: Dataset[CanonRow]): Dataset[TripleRow] = {
+      canon: Dataset[CanonRow],
+      pageEntitiesPre: Option[DataFrame] = None): Dataset[TripleRow] = {
     val spark = extracted.sparkSession
     import spark.implicits._
     val ex = extracted.toDF()
@@ -54,10 +65,9 @@ object Emit {
       .select(lit(RootId).as("subj"), lit(Pred.Contains).as("pred"),
         $"site".as("obj"))
 
-    val cm = canonicalMentions(linked, canon)
-      .select($"url", $"canon_id")
+    val perPage = pageEntitiesPre.getOrElse(pageEntities(linked, canon))
 
-    val mentions = cm.distinct()
+    val mentions = perPage
       .select($"url".as("subj"), lit(Pred.Mentions).as("pred"),
         concat(lit("ent:"), $"canon_id").as("obj"))
 
@@ -71,7 +81,6 @@ object Emit {
     // co-mention on a page → relates_to between canonical entities
     // (≙ CALLS: MERGE collapses multi-site pairs to one edge; self-pairs
     // excluded — a page mentioning one entity twice is not a relation).
-    val perPage = cm.distinct()
     val relates = perPage.as("a")
       .join(perPage.as("b"), Seq("url"))
       .filter($"a.canon_id" < $"b.canon_id")

@@ -38,22 +38,23 @@ object Mention {
     // Longest alias in the dictionary bounds n-gram generation. Tiny
     // one-row aggregate, same shape as the reference's schema-version
     // inference (clangd_index_yaml_parser.py:276-281).
-    // coalesce: an EMPTY dictionary makes max() return null → maxLen 0
-    // → no candidates (not an NPE)
-    val maxLen = dict
-      .map(a => aliasTokenCount(a.alias))
-      .agg(coalesce(max("value"), lit(0))).as[Int].head()
+    // ONE dictionary-sized collect feeds both inferences (two separate
+    // jobs previously — visible fixed cost at small-corpus latencies):
+    //  - maxLen: longest alias bounds n-gram generation (tiny aggregate,
+    //    same shape as the reference's schema-version inference,
+    //    clangd_index_yaml_parser.py:276-281); empty dict → no candidates;
+    //  - firstTokens scale guard: a page with T tokens would otherwise
+    //    materialize T*maxLen n-gram strings (60 GB+ of garbage per 10^8
+    //    pages). An n-gram can only match if its FIRST token starts some
+    //    alias, so a broadcast first-token set prunes start positions
+    //    before any string is built. Semantics unchanged.
+    val dictStats = dict
+      .map(a => (aliasTokenCount(a.alias), tokenize(a.alias).headOption.getOrElse("")))
+      .collect()
+    if (dictStats.isEmpty) return spark.emptyDataset[CandidateRow]
+    val maxLen = dictStats.iterator.map(_._1).max
     if (maxLen == 0) return spark.emptyDataset[CandidateRow]
-
-    // Scale guard: a page with T tokens would otherwise materialize
-    // T*maxLen n-gram strings (60 GB+ of garbage per 10^8 pages). An
-    // n-gram can only match if its FIRST token starts some alias, so a
-    // broadcast first-token set prunes start positions before any
-    // string is built. Semantics unchanged.
-    val firstTokens: Set[String] = dict
-      .map(a => tokenize(a.alias).headOption.getOrElse(""))
-      .distinct().collect().toSet
-    val firstTokensB = spark.sparkContext.broadcast(firstTokens)
+    val firstTokensB = spark.sparkContext.broadcast(dictStats.iterator.map(_._2).toSet)
 
     val grams = extracted.flatMap { p =>
       val toks = tokenize(p.text)

@@ -20,8 +20,44 @@ object GraphOps {
   /** All nodes reachable FROM the seed set following src→dst edges
     * (seeds excluded unless reachable via a cycle). Frontier-based BFS:
     * each round joins only the NEW frontier against the edge table. */
-  def reachable(edges: DataFrame, seeds: DataFrame, maxIter: Int = 100): DataFrame = {
+  def reachable(
+      edges: DataFrame, seeds: DataFrame, maxIter: Int = 100,
+      driverThreshold: Long = 1L << 20): DataFrame = {
     val spark = edges.sparkSession
+    // Fast path: a graph that fits the driver (take answers "does it
+    // fit" and fetches it in one job) pays one collect instead of
+    // O(depth) Spark jobs — the distributed fixpoint below serves
+    // genuinely large graphs. Same pattern as canonMap's union-find.
+    val takenE = edges.select(col("src"), col("dst"))
+      .take((driverThreshold + 1).toInt)
+    if (takenE.length <= driverThreshold) {
+      import spark.implicits._
+      val adj = takenE.iterator.map(r => (r.get(0), r.get(1)))
+        .toSeq.distinct.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2) }
+      val seedSet = seeds.select(col("node")).distinct().collect()
+        .map(_.get(0)).toSet
+      val reached = scala.collection.mutable.Set.empty[Any]
+      var frontier = seedSet
+      var visited = seedSet
+      var i = 0
+      while (frontier.nonEmpty && i < maxIter) {
+        val step = frontier.iterator
+          .flatMap(n => adj.getOrElse(n, Nil)).toSet
+        reached ++= step
+        frontier = step diff visited
+        visited = visited ++ frontier
+        i += 1
+      }
+      require(i < maxIter, s"reachability did not converge in $maxIter rounds")
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField(
+          "node", edges.schema("dst").dataType, nullable = true)))
+      return spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          reached.iterator.map(v => org.apache.spark.sql.Row(v)).toSeq,
+          numSlices = 1),
+        schema)
+    }
     val e = edges.select(col("src"), col("dst")).distinct().localCheckpoint()
     var visited = seeds.select(col("node")).distinct().localCheckpoint()
     var steps: List[DataFrame] = Nil // per-round reached sets (lazily checkpointed)

@@ -29,12 +29,14 @@ object Pipeline {
       canon: Dataset[CanonRow],
       triples: Dataset[TripleRow],
       nodes: Dataset[NodeRow],
-      adjacency: Dataset[AdjacencyRow]) {
+      adjacency: Dataset[AdjacencyRow],
+      pageEntities: DataFrame) {
     /** Release the intermediate caches `run` installed. */
     def unpersist(): Unit = {
       extracted.unpersist()
       linked.unpersist()
       canon.unpersist()
+      pageEntities.unpersist()
     }
   }
 
@@ -57,10 +59,14 @@ object Pipeline {
     val entities = aliases.map(a => java.lang.Long.valueOf(a.entity_id)).distinct()
     val canon = ConnectedComponents.canonMap(entities, sameas)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val triples = Emit.triples(extracted, linked, canon)
+    // shared by the mentions and relates_to branches: the salted canon
+    // join runs once per action, not once per consuming branch
+    val pe = Emit.pageEntities(linked, canon)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val triples = Emit.triples(extracted, linked, canon, Some(pe))
     val nodesAll = Emit.nodes(extracted, triples)
     val nodes = Emit.dropOrphans(nodesAll, triples)
-    Graph(extracted, linked, canon, triples, nodes, Emit.adjacency(triples))
+    Graph(extracted, linked, canon, triples, nodes, Emit.adjacency(triples), pe)
   }
 
   /** Number of url-hash buckets for partitioned table layout. At cluster

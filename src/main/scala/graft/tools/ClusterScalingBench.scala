@@ -50,6 +50,7 @@ object ClusterScalingBench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.local.dir", "/dev/shm/graft-spark")
+      .config("spark.sql.parquet.columnarReaderBatchSize", "512")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._

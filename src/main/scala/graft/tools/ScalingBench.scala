@@ -28,6 +28,9 @@ object ScalingBench {
       // disk, which a real N-node vs 4N-node cluster does not — spilling
       // to RAM removes that shared-device artifact from the comparison.
       .config("spark.local.dir", "/dev/shm/graft-spark")
+      // wide-binary corpus: default 4096-row reader batches cost ~80 MB
+      // per concurrent reader on ≈20 KB rows
+      .config("spark.sql.parquet.columnarReaderBatchSize", "512")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

@@ -160,6 +160,10 @@ class OpsSpec extends SparkSpec {
     val seeds = Seq(1L).toDF("node")
     val r = GraphOps.reachable(edges, seeds).collect().map(_.getLong(0)).toSet
     r shouldBe Set(2L, 3L, 1L) // 1 re-reached via cycle; 9->1 not traversed
+    // the distributed fixpoint path (threshold 0 forces it) must agree
+    // with the driver-BFS fast path
+    GraphOps.reachable(edges, seeds, driverThreshold = 0L)
+      .collect().map(_.getLong(0)).toSet shouldBe r
   }
 
   test("pruneLeafless keeps only ancestors of kept leaves") {
