@@ -1,0 +1,27 @@
+package graft
+
+import graft.functions.PercentDecode
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Session-extension injector — the idiomatic library integration point:
+  *
+  *   spark.sql.extensions=graft.GraftExtensions          (config), or
+  *   SparkSession.builder().withExtensions(new GraftExtensions)
+  *
+  * registers the library's native Catalyst functions in every session
+  * built from that builder, instead of mutating one session's
+  * functionRegistry after the fact (PercentDecode.register remains for
+  * ad-hoc use). The injected expression has real `doGenCode`, so SQL
+  * callers stay inside whole-stage codegen.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("percent_decode"),
+      new ExpressionInfo(classOf[PercentDecode].getCanonicalName,
+        "percent_decode"),
+      (exprs: Seq[Expression]) => PercentDecode(exprs.head)))
+  }
+}

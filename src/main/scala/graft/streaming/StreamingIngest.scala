@@ -44,7 +44,29 @@ object StreamingIngest {
     q.awaitTermination()
   }
 
-  /** Read the streaming sink with cross-batch keep-latest semantics. */
+  /** Event-time windowed aggregation with a watermark (§2.8): pages per
+    * (site, event-time window); a window's row is emitted exactly once,
+    * after the watermark passes its end (append mode) — the crawl-rate /
+    * late-data accounting shape of a streaming ingest. */
+  def sitePagesPerWindow(
+      pages: Dataset[ExtractedPage],
+      windowLen: String = "1 hour",
+      lateness: String = "30 minutes") = {
+    pages.toDF()
+      .withWatermark("warc_ts", lateness)
+      .groupBy(window(col("warc_ts"), windowLen), col("site"))
+      .agg(count(lit(1)).as("n_pages"))
+      .select(col("window.start").as("win_start"), col("site"),
+        col("n_pages"))
+  }
+
+  /** Read the streaming sink with cross-batch keep-latest semantics.
+    * Tie-break note: this dedups EXTRACTED rows, where the html payload
+    * no longer exists by design (it never crosses the extract boundary),
+    * so warc_ts ties break on text_sha256 — the batch pipeline's frozen
+    * (warc_ts, xxhash64(html)) key applies within each micro-batch via
+    * Extract.run; the keys only differ for same-url same-warc_ts
+    * duplicates landing in different micro-batches. */
   def readLatest(spark: SparkSession, outDir: String): Dataset[ExtractedPage] = {
     import spark.implicits._
     spark.read.parquet(outDir)

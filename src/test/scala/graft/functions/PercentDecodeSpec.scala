@@ -18,6 +18,13 @@ class PercentDecodeSpec extends SparkSpec {
     samples.foreach { s => got(s) shouldBe UrlKit.percentDecode(s) }
   }
 
+  test("GraftExtensions injects percent_decode at session build (no register call)") {
+    // TestSpark sets spark.sql.extensions=graft.GraftExtensions; the
+    // function must resolve in SQL without PercentDecode.register.
+    spark.sql("SELECT percent_decode('caf%C3%A9') AS d")
+      .head().getString(0) shouldBe "café"
+  }
+
   test("SQL registration works") {
     PercentDecode.register(spark)
     samples.toDF("s").createOrReplaceTempView("pd_samples")

@@ -57,6 +57,32 @@ class StreamingSpec extends SparkSpec {
       .run(p).count().toInt
   }
 
+  test("watermarked event-time window agg emits closed windows once (append mode)") {
+    import java.sql.Timestamp
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[graft.model.ExtractedPage]
+    val agg = StreamingIngest.sitePagesPerWindow(mem.toDS())
+    val q = agg.writeStream.format("memory").queryName("win_counts")
+      .outputMode(OutputMode.Append()).start()
+    def page(url: String, site: String, ts: Long) =
+      graft.model.ExtractedPage(url, site, new Timestamp(ts), "t", "en", Nil, "")
+    val h = 3600L * 1000L
+    mem.addData(page("u1", "s1", 0L), page("u2", "s1", 10000L),
+      page("u3", "s2", 20000L))
+    q.processAllAvailable()
+    // watermark has not passed the [0, 1h) window → nothing emitted yet
+    spark.table("win_counts").count() shouldBe 0L
+    mem.addData(page("u4", "s1", 3 * h)) // event time jumps; watermark follows
+    q.processAllAvailable()
+    mem.addData(page("u5", "s1", 4 * h)) // next trigger flushes closed windows
+    q.processAllAvailable()
+    val got = spark.table("win_counts").collect()
+      .map(r => (r.getTimestamp(0).getTime, r.getString(1), r.getLong(2))).toSet
+    q.stop()
+    got should contain((0L, "s1", 2L))
+    got should contain((0L, "s2", 1L))
+  }
+
   test("mapGroupsWithState site counter matches batch aggregation") {
     val ex = graft.extract.Extract.run(Synth.pages(spark, cfg))
     implicit val sqlCtx = spark.sqlContext
