@@ -253,6 +253,13 @@ object SparkEntry {
           col("width"), col("height"), col("n_bytes"))
         .orderBy("media_id")
     }),
+    // ---- ANN: IVF (nearest-centroid lists, nProbe cells, exact re-rank) ----
+    "q32_ann_ivf" -> ((s, d) => {
+      val emb = rd(s, d, "embeddings")
+      val q = emb.filter(col("vec_id") === 0)
+        .head().getAs[Seq[Float]]("embedding").toArray
+      AnnOps.ivfTopK(emb, "vec_id", "embedding", q, 10)
+    }),
     // ---- all-pairs embedding cosine ≥ τ via SRP-bucket join ----
     "q31_cosine_pairs" -> ((s, d) =>
       AnnOps.cosinePairs(rd(s, d, "embeddings"), "vec_id", "embedding",
@@ -340,7 +347,42 @@ object SparkEntry {
        |WHERE cos >= 0.2 ORDER BY id_a, id_b""".stripMargin
   }
 
+  /** IVF codebook inlined; assignment = argmax dot with lowest-cell
+    * tie-break (row_number ORDER BY dot DESC, cid), probes = the 4 cells
+    * nearest the query, exact cosine re-rank inside them. */
+  private def q32OracleSql: String = {
+    val cents = (0 until 16).map { c =>
+      val vs = AnnOps.ivfCentroid(42L, c, 64).map(_.toString).mkString(", ")
+      s"($c, [$vs]::DOUBLE[])"
+    }.mkString(",\n  ")
+    s"""WITH centroids(cid, cv) AS (VALUES
+       |  $cents),
+       |scored AS (
+       |  SELECT e.vec_id AS id, e.embedding AS emb, c.cid,
+       |    list_sum([e.embedding[i]::DOUBLE * c.cv[i]
+       |              for i in range(1, 65)]) AS dot
+       |  FROM embeddings e CROSS JOIN centroids c),
+       |assigned AS (
+       |  SELECT id, emb, cid AS cell FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY id
+       |      ORDER BY dot DESC, cid) rn FROM scored) WHERE rn = 1),
+       |qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+       |probes AS (
+       |  SELECT c.cid FROM centroids c, qv
+       |  ORDER BY list_sum([qv.qe[i]::DOUBLE * c.cv[i]
+       |                     for i in range(1, 65)]) DESC, c.cid
+       |  LIMIT 4)
+       |SELECT a.id AS id,
+       |  round(list_sum([a.emb[i]::DOUBLE * qv.qe[i]::DOUBLE for i in range(1, 65)]) /
+       |    (sqrt(list_sum([a.emb[i]::DOUBLE * a.emb[i]::DOUBLE for i in range(1, 65)])) *
+       |     sqrt(list_sum([qv.qe[i]::DOUBLE * qv.qe[i]::DOUBLE for i in range(1, 65)]))), 6) AS cos
+       |FROM assigned a, qv
+       |WHERE a.cell IN (SELECT cid FROM probes)
+       |ORDER BY cos DESC, id LIMIT 10""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "q32_ann_ivf" -> q32OracleSql,
     // SimHash brute-force re-derivation: md5-derived 64-bit token hash
     // ((hi-signed)*2^32+lo assembles the first 8 md5 bytes big-endian,
     // matching DedupOps.md5Hash64), per-bit majority vote, all-pairs

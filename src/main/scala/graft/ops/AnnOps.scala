@@ -78,6 +78,53 @@ object AnnOps {
       .limit(k)
   }
 
+  // ----------------------------------------------------------------- IVF
+
+  /** Deterministic unit-norm centroid c of an IVF codebook (seeded — no
+    * k-means iterations, so the codebook is reproducible across engines
+    * and oracle-checkable; swap in trained centroids in production, the
+    * plan shape is identical). */
+  def ivfCentroid(seed: Long, cell: Int, d: Int): Array[Double] = {
+    val raw = hyperplane(seed ^ 0x1f2e3d4cL, cell, d)
+    val n = math.sqrt(raw.map(x => x * x).sum)
+    raw.map(_ / n)
+  }
+
+  /** Nearest-centroid cell id (argmax dot; ties → lowest cell id) as a
+    * pure column expression — map-side assignment, no shuffle. */
+  def ivfCell(emb: Column, seed: Long, nCells: Int, d: Int): Column = {
+    val scored = (0 until nCells).map { c =>
+      val cv = lit(ivfCentroid(seed, c, d))
+      val dot = aggregate(zip_with(emb, cv, (x, y) => x.cast("double") * y),
+        lit(0.0), (acc, x) => acc + x)
+      struct(dot.as("dot"), lit(-c).as("ncid"))
+    }
+    -array_max(array(scored: _*)).getField("ncid")
+  }
+
+  /** IVF top-k: assign every vector to its nearest centroid map-side;
+    * probe the `nProbe` centroid lists nearest to the query; exact
+    * cosine re-rank inside the probed cells only. The inverted lists are
+    * an equi filter on the cell id — at cluster scale the table is
+    * partitioned by cell, so a query touches nProbe/nCells of the data.
+    * Recall < 1 by construction; nProbe trades cost for recall. */
+  def ivfTopK(
+      df: DataFrame, idCol: String, embCol: String, query: Array[Float],
+      k: Int, seed: Long = 42L, nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+    val d = query.length
+    val qDots = (0 until nCells).map { c =>
+      c -> ivfCentroid(seed, c, d).zip(query).map { case (h, x) => h * x }.sum
+    }
+    val probes = qDots.sortBy { case (c, dot) => (-dot, c) }
+      .take(nProbe).map(_._1.toLong)
+    df.select(col(idCol).as("id"), col(embCol).as("emb"),
+        ivfCell(col(embCol), seed, nCells, d).as("cell"))
+      .filter(col("cell").isin(probes: _*))
+      .select(col("id"), round(cosineToQuery(col("emb"), query), 6).as("cos"))
+      .orderBy(col("cos").desc, col("id").asc)
+      .limit(k)
+  }
+
   /** All-pairs cosine above a threshold via bucket join (candidates share
     * an SRP bucket) + exact verification — the near-dup-by-embedding op. */
   def cosinePairs(

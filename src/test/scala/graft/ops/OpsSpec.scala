@@ -112,6 +112,19 @@ class OpsSpec extends SparkSpec {
     r should contain(0L)
   }
 
+  test("IVF top-k: query's own cell probed; exact rank inside probed cells") {
+    // probing the query's nearest cells must always find the query vector
+    // itself at rank 1 (cos 1.0) and rank candidates exactly
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.filter(col("vec_id") === 0)
+      .head().getAs[Seq[Float]]("embedding").toArray
+    val r = AnnOps.ivfTopK(emb, "vec_id", "embedding", q, 5).collect()
+    r.head.getLong(0) shouldBe 0L
+    r.head.getDouble(1) shouldBe 1.0
+    // ranked descending, deterministic
+    r.map(_.getDouble(1)).toSeq shouldBe r.map(_.getDouble(1)).sorted.reverse.toSeq
+  }
+
   test("cosinePairs finds high-similarity pairs via bucket join") {
     val r = AnnOps.cosinePairs(vecs, "vec_id", "embedding", 0.95, nPlanes = 2, dim = 4)
       .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
