@@ -22,6 +22,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("percent_decode"),
       new ExpressionInfo(classOf[PercentDecode].getCanonicalName,
         "percent_decode"),
-      (exprs: Seq[Expression]) => PercentDecode(exprs.head)))
+      (exprs: Seq[Expression]) => {
+        if (exprs.length != 1)
+          throw new IllegalArgumentException(
+            s"percent_decode expects exactly 1 argument, got ${exprs.length}")
+        PercentDecode(exprs.head)
+      }))
   }
 }

@@ -69,13 +69,8 @@ object ConnectedComponents {
     e // rows (u, v): v = canonical (min) id of u's component; v's own row absent
   }
 
-  private def checksum(e: DataFrame): (Long, Long) = {
-    // bit_xor: order-insensitive, overflow-free under ANSI mode
-    val r = e.agg(
-      count(lit(1)).as("c"),
-      coalesce(bit_xor(xxhash64(col("u"), col("v"))), lit(0L)).as("s")).head()
-    (r.getLong(0), r.getLong(1))
-  }
+  private def checksum(e: DataFrame): (Long, Long) =
+    graft.util.Checksum.of(e, Seq("u", "v"))
 
   /** Full canonical map over a universe of entity ids: component minima
     * from `edges`, identity for untouched entities.
@@ -103,9 +98,15 @@ object ConnectedComponents {
     if (taken.length <= driverThreshold) {
       val pairs = taken.map(r => (r.getLong(0), r.getLong(1)))
       val parent = scala.collection.mutable.Map.empty[Long, Long]
-      def find(x: Long): Long = {
-        val p = parent.getOrElse(x, x)
-        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      // iterative find + path compression: chain-ordered edge lists can
+      // build parent chains as long as the edge list, and the threshold
+      // admits 2^20 edges — recursion would overflow the driver stack
+      def find(x0: Long): Long = {
+        var root = x0
+        while (parent.getOrElse(root, root) != root) root = parent(root)
+        var x = x0
+        while (x != root) { val nxt = parent(x); parent(x) = root; x = nxt }
+        root
       }
       pairs.foreach { case (a, b) =>
         val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(ra) = rb

@@ -47,5 +47,10 @@ object PercentDecode {
   /** SQL registration: SELECT percent_decode(url) FROM ... */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "percent_decode", exprs => PercentDecode(exprs.head), "built-in")
+      "percent_decode", exprs => {
+        if (exprs.length != 1)
+          throw new IllegalArgumentException(
+            s"percent_decode expects exactly 1 argument, got ${exprs.length}")
+        PercentDecode(exprs.head)
+      }, "built-in")
 }

@@ -108,8 +108,9 @@ object Incremental {
     // mark every stage in-progress BEFORE any data dir is touched: a kill
     // mid-update must not leave old manifests pointing at mixed data
     // (they are re-stamped with the new snapshot id at the end)
-    Seq("extracted", "aliasdf", "linked", "canon", "triples", "nodes",
-      "adjacency", "enriched").foreach(s => Snapshot.invalidate(s"$outDir/$s"))
+    Seq("extracted", "candidates", "aliasdf", "linked", "canon", "triples",
+      "nodes", "adjacency", "enriched")
+      .foreach(s => Snapshot.invalidate(s"$outDir/$s"))
 
     val exDir = s"$outDir/extracted/data"
     val adfDir = s"$outDir/aliasdf/data"
@@ -121,8 +122,7 @@ object Incremental {
     // eager — all dictionary- or bucket-count-sized)
     val oldDfMap = collectGlobalAliasDf(spark, adfDir)
     val oldLinksNbrBuckets = nbrBucketsOf(
-      spark.read.parquet(s"$triplesDir/pred=links_to")
-        .select(col("subj"), col("obj")),
+      readPred(spark, triplesDir, "links_to").select(col("subj"), col("obj")),
       touchedUrls, nBuckets)
     val oldCanonCk = checksumOf(
       spark.read.parquet(s"$outDir/canon/data"),
@@ -137,15 +137,23 @@ object Incremental {
       .cache()
     overwriteBuckets(spark, extractedDirty, exDir, dirty)
 
-    // ---- aliasdf: same dirty buckets (df_b is bucket-local)
+    // ---- candidates (the parse-cache analog): re-detect dirty buckets
+    // only; relink-only buckets read their stored candidates later
+    val candDir = s"$outDir/candidates/data"
     val exDirtyDs = extractedDirty.drop("bucket").as[ExtractedPage]
+    val candidatesDirty = Mention.detect(exDirtyDs, aliases).toDF()
+      .withColumn("bucket", Pipeline.bucketOf(col("url"), nBuckets))
+      .cache()
+    overwriteBuckets(spark, candidatesDirty, candDir, dirty)
+
+    // ---- aliasdf: same dirty buckets (df_b is bucket-local)
     overwriteBuckets(spark,
-      Mention.detect(exDirtyDs, aliases).toDF()
-        .select(col("url"), col("alias")).distinct()
-        .groupBy(Pipeline.bucketOf(col("url"), nBuckets).as("bucket"),
-          col("alias"))
+      candidatesDirty.select(col("bucket"), col("url"), col("alias"))
+        .distinct()
+        .groupBy(col("bucket"), col("alias"))
         .agg(count(lit(1)).as("df_b")),
       adfDir, dirty)
+    candidatesDirty.unpersist()
     extractedDirty.unpersist()
 
     // ---- relink scope: dirty ∪ buckets containing a changed-df alias
@@ -156,7 +164,7 @@ object Incremental {
       if (changedAliases.isEmpty) dirty
       else {
         val chDf = changedAliases.toSeq.toDF("alias")
-        val extra = spark.read.parquet(adfDir)
+        val extra = readAliasDf(spark, adfDir)
           .join(broadcast(chDf), Seq("alias"), "left_semi")
           .select(col("bucket").cast("long")).distinct()
           .collect().map(_.getLong(0)).toSeq
@@ -168,11 +176,14 @@ object Incremental {
         .filter(col("bucket").isin(buckets: _*))
         .drop("bucket").as[ExtractedPage]
 
-    // ---- relink against the GLOBAL df (incremental ≡ full rebuild)
-    val newDfDf = newDfMap.toSeq.toDF("alias", "alias_df")
+    // ---- relink against the GLOBAL df (incremental ≡ full rebuild);
+    // candidates come from storage — no page is re-tokenized just
+    // because some alias's df changed
+    val candsRelink = spark.read.schema(candSchema).parquet(candDir)
+      .filter(col("bucket").isin(relink: _*))
+      .drop("bucket").as[CandidateRow]
     overwriteBuckets(spark,
-      Link.resolve(Mention.detect(readExtracted(relink), aliases), nPages,
-        Some(newDfDf)).toDF()
+      Link.resolve(candsRelink, nPages, Some(newDfMap)).toDF()
         .withColumn("bucket", Pipeline.bucketOf(col("url"), nBuckets)),
       s"$outDir/linked/data", relink)
 
@@ -186,7 +197,7 @@ object Incremental {
     canonNew.write.mode(SaveMode.Overwrite).parquet(s"$outDir/canon/data")
 
     val ex = spark.read.parquet(exDir)
-    val lk = spark.read.parquet(s"$outDir/linked/data")
+    val lk = spark.read.schema(linkedSchema).parquet(s"$outDir/linked/data")
     val canon = spark.read.parquet(s"$outDir/canon/data")
 
     def cmOf(linked: DataFrame): DataFrame =
@@ -255,7 +266,7 @@ object Incremental {
     // ---- adjacency mirrors the triples writes 1:1 (each pred sub-table
     // is already distinct on (subj, obj), so adjacency is a reorder)
     def adjacencyFor(pred: String, scope: Option[Seq[Long]]): Unit = {
-      val t = spark.read.parquet(s"$triplesDir/pred=$pred")
+      val t = readPred(spark, triplesDir, pred)
       val rows = scope.map(bs => t.filter(col("bucket").isin(bs: _*)))
         .getOrElse(t)
         .select(col("subj").as("src"), col("obj").as("dst"), col("bucket"))
@@ -279,7 +290,7 @@ object Incremental {
     // ---- enriched: PAGE rows for dirty ∪ link-neighbor buckets (old and
     // new edges); clean summaries reused, roll-ups from materialized
     // summaries
-    val linksToNew = spark.read.parquet(s"$triplesDir/pred=links_to")
+    val linksToNew = readPred(spark, triplesDir, "links_to")
       .select(col("subj"), col("obj"))
     val enrScope = (dirty ++ oldLinksNbrBuckets ++
       nbrBucketsOf(linksToNew, touchedUrls, nBuckets)).distinct.sorted
@@ -308,10 +319,10 @@ object Incremental {
 
     // stamp manifests with the new snapshot id (≙ PROJECT.commit_hash
     // stamp, clangd_graph_rag_builder.py:112-122)
-    Seq("extracted" -> HtmlText.VERSION, "aliasdf" -> "link-v1",
-      "linked" -> "link-v1", "canon" -> "canon-v1", "triples" -> "emit-v1",
-      "nodes" -> "emit-v1", "adjacency" -> "emit-v1",
-      "enriched" -> "enrich-v1").foreach {
+    Seq("extracted" -> HtmlText.VERSION, "candidates" -> "mention-v1",
+      "aliasdf" -> "link-v1", "linked" -> "link-v1", "canon" -> "canon-v1",
+      "triples" -> "emit-v1", "nodes" -> "emit-v1",
+      "adjacency" -> "emit-v1", "enriched" -> "enrich-v1").foreach {
       case (stage, v) => Snapshot.stamp(spark, outDir, stage, newSnapshotId, v)
     }
     changedUrls.unpersist()
@@ -322,17 +333,45 @@ object Incremental {
 
   // ------------------------------------------------------------ helpers
 
+  // explicit read schemas: a stage that legitimately holds zero rows
+  // (e.g. no mention candidates anywhere) has a _SUCCESS-only data dir,
+  // and a schema-less parquet read would fail with UNABLE_TO_INFER_SCHEMA
+  private val candSchema =
+    org.apache.spark.sql.Encoders.product[CandidateRow].schema
+      .add("bucket", org.apache.spark.sql.types.LongType)
+  private val linkedSchema =
+    org.apache.spark.sql.Encoders.product[LinkedMention].schema
+      .add("bucket", org.apache.spark.sql.types.LongType)
+  private val aliasdfSchema = new org.apache.spark.sql.types.StructType()
+    .add("alias", org.apache.spark.sql.types.StringType)
+    .add("df_b", org.apache.spark.sql.types.LongType)
+    .add("bucket", org.apache.spark.sql.types.LongType)
+
+  private def readAliasDf(spark: SparkSession, adfDir: String): DataFrame =
+    spark.read.schema(aliasdfSchema).parquet(adfDir)
+
   private def collectGlobalAliasDf(
       spark: SparkSession, adfDir: String): Map[String, Long] =
-    Pipeline.globalAliasDf(spark.read.parquet(adfDir))
+    Pipeline.globalAliasDf(readAliasDf(spark, adfDir))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
 
-  /** Order-insensitive (count, xor-of-row-hashes) checksum. */
-  private def checksumOf(df: DataFrame, cols: Seq[String]): (Long, Long) = {
-    val r = df.agg(
-      count(lit(1)).as("c"),
-      coalesce(bit_xor(xxhash64(cols.map(col): _*)), lit(0L)).as("s")).head()
-    (r.getLong(0), r.getLong(1))
+  private def checksumOf(df: DataFrame, cols: Seq[String]): (Long, Long) =
+    graft.util.Checksum.of(df, cols)
+
+  /** Read one pred sub-table, tolerating a predicate that has never had
+    * any rows: its directory may not exist (partitionBy never creates
+    * empty leaves — e.g. a corpus with only external links has no
+    * pred=links_to), or may hold only a _SUCCESS marker after an empty
+    * rewrite. Returns an empty (subj, obj, bucket) frame then. */
+  private def readPred(
+      spark: SparkSession, triplesDir: String, pred: String): DataFrame = {
+    import spark.implicits._
+    val p = new Path(s"$triplesDir/pred=$pred")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hasData = fs.exists(p) && fs.listStatus(p)
+      .exists(s => s.isDirectory || s.getPath.getName.endsWith(".parquet"))
+    if (hasData) spark.read.parquet(p.toString)
+    else Seq.empty[(String, String, Long)].toDF("subj", "obj", "bucket")
   }
 
   /** Buckets of link-neighbors (either direction) of `urls`. */

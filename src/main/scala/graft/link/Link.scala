@@ -38,23 +38,30 @@ object Link {
       .saltedCount(cands.select(col("url"), col("alias")).distinct(), "alias", col("url"))
       .withColumnRenamed("count", "alias_df")
 
-  /** @param precomputedDf optional (alias, alias_df) table to use instead
-    *        of deriving df from `cands` — the incremental updater passes
-    *        the globally-maintained df here so dirty-bucket relinks score
-    *        against corpus-wide document frequencies, not dirty-scope
-    *        ones (incremental ≡ full-rebuild contract). Must cover every
-    *        alias present in `cands`. */
+  /** Collect a (alias, alias_df) table to the driver map `resolve`
+    * broadcasts — dictionary-sized by construction. */
+  def collectAliasDf(dfTable: DataFrame): Map[String, Long] =
+    dfTable.select(col("alias"), col("alias_df"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  /** @param precomputedDf optional global alias→df map to use instead of
+    *        deriving df from `cands` — the staged build passes the
+    *        aliasdf-stage sum and the incremental updater the maintained
+    *        global df, so dirty-bucket relinks score against corpus-wide
+    *        document frequencies, not dirty-scope ones (incremental ≡
+    *        full-rebuild contract). Must cover every alias present in
+    *        `cands`; a miss fails the job loudly (it means a stale
+    *        aliasdf snapshot, e.g. the dictionary changed under an
+    *        unchanged snapshot id). */
   def resolve(
       cands: Dataset[CandidateRow],
       nPages: Long,
-      precomputedDf: Option[DataFrame] = None): Dataset[LinkedMention] = {
+      precomputedDf: Option[Map[String, Long]] = None): Dataset[LinkedMention] = {
     val spark = cands.sparkSession
     import spark.implicits._
 
-    val dfTable = precomputedDf.getOrElse(aliasDf(cands.toDF()))
-    // dictionary-sized by construction: safe to collect + broadcast
-    val dfMap: Map[String, Long] = dfTable.select(col("alias"), col("alias_df"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val dfMap: Map[String, Long] =
+      precomputedDf.getOrElse(collectAliasDf(aliasDf(cands.toDF())))
     val dfB = spark.sparkContext.broadcast(dfMap)
     val n = nPages.toDouble
 
@@ -72,7 +79,11 @@ object Link {
           var best: CandidateRow = null
           var bestScore = Double.NegativeInfinity
           cs.foreach { c =>
-            val sc = c.prior * math.log(1.0 + n / m(c.alias)) +
+            val df = m.getOrElse(c.alias, throw new IllegalStateException(
+              s"alias '${c.alias}' missing from the alias-df table — " +
+                "stale aliasdf snapshot? (dictionary changed under an " +
+                "unchanged snapshot id)"))
+            val sc = c.prior * math.log(1.0 + n / df) +
               0.01 * support(c.entity_id)
             if (best == null || sc > bestScore ||
               (sc == bestScore && c.entity_id < best.entity_id)) {

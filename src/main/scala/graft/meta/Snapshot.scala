@@ -83,7 +83,10 @@ object Snapshot {
         val w = df.write.mode(SaveMode.Overwrite)
         (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
           .parquet(dataDir)
-        val committed = spark.read.parquet(dataDir)
+        // read back with the computed schema: a legitimately EMPTY stage
+        // (e.g. zero mention candidates) writes only _SUCCESS, and a
+        // schema-less read would fail with UNABLE_TO_INFER_SCHEMA
+        val committed = spark.read.schema(df.schema).parquet(dataDir)
         val rows = committed.count()
         val wallMs = (System.nanoTime() - t0) / 1000000L
         appendLineage(spark, baseDir, stageName, snapshotId, committed,
@@ -109,7 +112,11 @@ object Snapshot {
       snapshotId: String,
       version: String): Unit = {
     val dir = s"$baseDir/$stageName"
-    val rows = spark.read.parquet(s"$dir/data").count()
+    val rows =
+      try spark.read.parquet(s"$dir/data").count()
+      catch { // an empty stage holds only _SUCCESS — that is 0 rows
+        case _: org.apache.spark.sql.AnalysisException => 0L
+      }
     writeManifest(dir, Manifest(snapshotId, version, rows, 0L))
   }
 

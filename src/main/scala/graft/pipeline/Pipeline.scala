@@ -101,25 +101,36 @@ object Pipeline {
         .repartition(col("bucket"))
     }
 
+    // mention candidates materialized once (≙ the reference's parse
+    // caches): url-local and bucket-keyed; reused by the aliasdf and
+    // linked stages (detection previously ran twice) and by the
+    // incremental updater, whose relink-only buckets read their stored
+    // candidates instead of re-detecting
+    val candidates = Snapshot.stage(spark, outDir, "candidates", snapshotId,
+      "mention-v1", Seq("bucket")) {
+      val ex = extracted.drop("bucket").as[ExtractedPage]
+      Mention.detect(ex, aliases).toDF()
+        .withColumn("bucket", bucketOf(col("url"), nBuckets))
+        .repartition(col("bucket"))
+    }
+
     // per-bucket alias document frequency: urls are bucket-disjoint, so
     // the global df is the exact per-bucket sum — the incremental updater
     // maintains this table per dirty bucket and detects which aliases'
     // global df changed (those buckets must relink)
     val aliasdf = Snapshot.stage(spark, outDir, "aliasdf", snapshotId,
       "link-v1", Seq("bucket")) {
-      val ex = extracted.drop("bucket").as[ExtractedPage]
-      Mention.detect(ex, aliases).toDF()
-        .select(col("url"), col("alias")).distinct()
-        .groupBy(bucketOf(col("url"), nBuckets).as("bucket"), col("alias"))
+      candidates.select(col("bucket"), col("url"), col("alias")).distinct()
+        .groupBy(col("bucket"), col("alias"))
         .agg(count(lit(1)).as("df_b"))
         .repartition(col("bucket"))
     }
 
     val linked = Snapshot.stage(spark, outDir, "linked", snapshotId, "link-v1",
       Seq("bucket")) {
-      val ex = extracted.drop("bucket").as[ExtractedPage]
-      val cands = Mention.detect(ex, aliases)
-      Link.resolve(cands, nPages, Some(globalAliasDf(aliasdf))).toDF()
+      val cands = candidates.drop("bucket").as[CandidateRow]
+      Link.resolve(cands, nPages,
+        Some(Link.collectAliasDf(globalAliasDf(aliasdf)))).toDF()
         .withColumn("bucket", bucketOf(col("url"), nBuckets))
         .repartition(col("bucket"))
     }

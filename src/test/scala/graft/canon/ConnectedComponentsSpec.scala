@@ -38,6 +38,15 @@ class ConnectedComponentsSpec extends SparkSpec {
     canonOf(Nil, 0L to 5L) shouldBe (0L to 5L).map(k => k -> k).toMap
   }
 
+  test("driver fast path survives a 30k-edge chain (no recursion overflow)") {
+    // chain-ordered unions build worst-case parent chains; the iterative
+    // find with path compression must not blow the driver stack
+    val n = 30000L
+    val edges = (1L until n).map(i => (i, i + 1))
+    val got = canonOf(edges, 1L to n)
+    got.values.toSet shouldBe Set(1L)
+  }
+
   test("property: CC equals union-find on 8 deterministic random graphs") {
     (0 until 8).foreach { trial =>
       val n = 2 + Det.nonNeg(Det.h(7L, trial.toLong, 1L), 39)

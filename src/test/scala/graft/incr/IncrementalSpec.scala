@@ -123,7 +123,8 @@ class IncrementalSpec extends SparkSpec {
     val b = spark.createDataset(Seq(targetUrl)).toDF("url")
       .select(Pipeline.bucketOf(col("url"), N)).head().getLong(0)
 
-    val urlLocal = Seq("extracted/data", "aliasdf/data", "linked/data",
+    val urlLocal = Seq("extracted/data", "candidates/data", "aliasdf/data",
+      "linked/data",
       "triples/data/pred=mentions", "triples/data/pred=links_to",
       "adjacency/data/pred=mentions", "adjacency/data/pred=links_to")
     val before = (for (t <- urlLocal; i <- 0 until N)
@@ -175,6 +176,33 @@ class IncrementalSpec extends SparkSpec {
     def triplesOf(dir: String) = spark.read.parquet(s"$dir/triples/data")
       .select("subj", "pred", "obj").collect().map(_.toSeq).toSet
     triplesOf(incDir) shouldBe triplesOf(fullDir)
+  }
+
+  test("corpus with no internal links and no mentions: build + update still work") {
+    // pred=links_to / pred=mentions / pred=relates_to directories are
+    // never created (partitionBy writes no empty leaves) — the updater
+    // must tolerate the missing sub-tables
+    def mk(i: Long, extra: String, ts: Long) = PageRow(
+      s"http://only$i.example/p/$i", new Timestamp(ts),
+      s"<html><body><p>plain words $i $extra</p></body></html>"
+        .getBytes("UTF-8"),
+      null, "en")
+    val old = spark.createDataset((1L to 12L).map(i => mk(i, "", 1000L * i)))
+    val neu = spark.createDataset((1L to 12L).map(i =>
+      if (i == 5L) mk(i, "changed", 999999L) else mk(i, "", 1000L * i)))
+    val incDir = Files.createTempDirectory("graft-nolinks").toString
+    val fullDir = Files.createTempDirectory("graft-nolinks-full").toString
+    val al = Synth.aliases(spark, cfg)
+    val sa = Synth.sameAs(spark, cfg)
+
+    Pipeline.build(spark, old, al, sa, 12L, incDir, "s-old", N)
+    Incremental.update(spark, old, neu, al, sa, 12L, incDir, "s-new", N) should not be empty
+    Pipeline.build(spark, neu, al, sa, 12L, fullDir, "s-new", N)
+
+    def triplesOf(dir: String) = spark.read.parquet(s"$dir/triples/data")
+      .select("subj", "pred", "obj").collect().map(_.toSeq).toSet
+    triplesOf(incDir) shouldBe triplesOf(fullDir)
+    triplesOf(incDir).map(_(1).toString) shouldBe Set("contains")
   }
 
   test("no-op update (identical snapshots) touches nothing") {
