@@ -253,6 +253,20 @@ object SparkEntry {
           col("width"), col("height"), col("n_bytes"))
         .orderBy("media_id")
     }),
+    // ---- BPE-ish piece count + heuristic subword estimate ----
+    "q33_bpe_count" -> ((s, d) =>
+      rd(s, d, "documents").filter(col("doc_id") < 100)
+        .select(col("doc_id"),
+          TextOps.bpePieceCount(col("text")).as("n_pieces"),
+          TextOps.subwordCountEstimate(col("text")).as("n_subwords"))
+        .orderBy("doc_id")),
+    // ---- winnowing (rolling-hash) document fingerprints ----
+    "q34_winnowing" -> ((s, d) =>
+      rd(s, d, "documents").filter(col("doc_id") < 100)
+        .select(col("doc_id"),
+          array_join(TextOps.winnowingFingerprints(col("text"), 4, 5), ",")
+            .as("fps"))
+        .orderBy("doc_id")),
     // ---- ANN: IVF (nearest-centroid lists, nProbe cells, exact re-rank) ----
     "q32_ann_ivf" -> ((s, d) => {
       val emb = rd(s, d, "embeddings")
@@ -383,6 +397,34 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "q32_ann_ivf" -> q32OracleSql,
+    "q33_bpe_count" ->
+      s"""SELECT doc_id,
+        | len(regexp_extract_all(text, '${TextOps.BpePiecePattern}')) AS n_pieces,
+        | CAST(list_sum(list_transform(regexp_split_to_array(trim(text), '\\s+'),
+        |   w -> greatest(1, CAST(ceil(length(w) / 8.0) AS BIGINT)))) AS BIGINT) AS n_subwords
+        |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin,
+    // winnowing: 4-gram md5 hashes, min per window of 5, distinct+sorted
+    // (DuckDB list slicing is 1-based INCLUSIVE: t[i:i+3] = 4 elements)
+    "q34_winnowing" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') t
+        |  FROM documents WHERE doc_id < 100),
+        |g AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(t) >= 4 THEN
+        |      [md5(array_to_string(t[i:i+3], ' ')) for i in range(1, len(t) - 2)]
+        |    ELSE []::VARCHAR[] END AS grams
+        |  FROM toks),
+        |m AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(grams) >= 5 THEN
+        |      [list_min(grams[j:j+4]) for j in range(1, len(grams) - 3)]
+        |    WHEN len(grams) > 0 THEN [list_min(grams)]
+        |    ELSE []::VARCHAR[] END AS mins
+        |  FROM g)
+        |SELECT doc_id,
+        |  array_to_string(list_sort(list_distinct(mins)), ',') AS fps
+        |FROM m ORDER BY doc_id""".stripMargin,
     // SimHash brute-force re-derivation: md5-derived 64-bit token hash
     // ((hi-signed)*2^32+lo assembles the first 8 md5 bytes big-endian,
     // matching DedupOps.md5Hash64), per-bit majority vote, all-pairs

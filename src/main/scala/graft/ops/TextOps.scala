@@ -26,12 +26,44 @@ object TextOps {
       lit(0L), (acc, x) => acc + x)
   }
 
+  /** BPE-ish regex piece count: word / number / punctuation-run pieces
+    * with an attached leading space — the GPT-2-style pre-tokenizer
+    * shape, restricted to RE2-safe syntax (no lookahead) so the SAME
+    * pattern runs in Spark (Java regex) and DuckDB (RE2) for the oracle.
+    * A deterministic proxy for tokenizer load estimation. */
+  val BpePiecePattern = " ?\\p{L}+| ?\\p{N}+| ?[^\\p{L}\\p{N}\\s]+"
+
+  def bpePieceCount(text: Column): Column =
+    regexp_count(text, lit(BpePiecePattern)).cast("long")
+
   /** Document fingerprint: md5 of the first k tokens re-joined — a
     * prefix fingerprint for coarse clustering (md5 is identical across
-    * engines, so it is oracle-checkable; rolling-hash variant in
-    * DedupOps.simhash64 covers the non-SQL path). */
+    * engines, so it is oracle-checkable). */
   def prefixFingerprint(text: Column, k: Int): Column =
     md5(concat_ws(" ", slice(tokens(text), 1, k)).cast("binary"))
+
+  /** Winnowing fingerprints (Schleimer et al., "Winnowing: Local
+    * Algorithms for Document Fingerprinting", SIGMOD'03): positional
+    * token k-gram hashes, minimum per sliding window of `w`, distinct +
+    * sorted. Guarantees any shared run of >= w+k-1 tokens yields a
+    * shared fingerprint — the rolling-hash dedup primitive. md5-string
+    * hashes keep it portable across engines (same trick as minhash).
+    * Pure column expressions — whole-stage codegen, no UDF. */
+  def winnowingFingerprints(text: Column, k: Int, w: Int): Column = {
+    val t = tokens(text)
+    val n = size(t)
+    val grams = when(n >= k,
+      transform(sequence(lit(0), n - k),
+        i => md5(concat_ws(" ", slice(t, i + 1, lit(k))).cast("binary"))))
+      .otherwise(array().cast("array<string>"))
+    val m = size(grams)
+    val mins = when(m >= w,
+      transform(sequence(lit(0), m - w),
+        j => array_min(slice(grams, j + 1, lit(w)))))
+      .otherwise(when(m > 0, array(array_min(grams)))
+        .otherwise(array().cast("array<string>")))
+    array_sort(array_distinct(mins))
+  }
 
   /** Language-ID marker words (tiny deterministic n-gram heuristic).
     * Order of the CASE fallthrough is part of the spec: en,de,fr,es. */

@@ -32,6 +32,32 @@ class OpsSpec extends SparkSpec {
     r(3L) shouldBe "und"
   }
 
+  test("winnowing guarantee: shared run of >= w+k-1 tokens shares a fingerprint") {
+    // k=3, w=4: any common run of >= 6 tokens must yield a common
+    // selected hash (Schleimer et al. property); disjoint docs share none
+    val common = "alpha beta gamma delta epsilon zeta"
+    val df = Seq(
+      (1L, s"xx yy $common zz"),
+      (2L, s"$common aa bb cc"),
+      (3L, "totally different words here now ok fine")).toDF("id", "text")
+    val fps = df.select(col("id"),
+        TextOps.winnowingFingerprints(col("text"), 3, 4).as("fps"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    (fps(1L) intersect fps(2L)) should not be empty
+    (fps(1L) intersect fps(3L)) shouldBe empty
+    // short doc: fewer grams than the window → single min fingerprint
+    val short = Seq((9L, "a b c")).toDF("id", "text")
+      .select(TextOps.winnowingFingerprints(col("text"), 3, 4).as("fps"))
+      .head().getSeq[String](0)
+    short.length shouldBe 1
+  }
+
+  test("bpe piece count: words, numbers, punctuation runs") {
+    val df = Seq((1L, "Hello, world 42!")).toDF("id", "text")
+    // pieces: "Hello" "," " world" " 42" "!"
+    df.select(TextOps.bpePieceCount(col("text"))).head().getLong(0) shouldBe 5L
+  }
+
   test("prefix fingerprint equals md5 of first k tokens") {
     val r = docs.filter($"doc_id" === 1)
       .select(TextOps.prefixFingerprint($"text", 3)).head().getString(0)
