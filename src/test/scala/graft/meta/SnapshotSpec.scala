@@ -68,6 +68,28 @@ class SnapshotSpec extends SparkSpec {
     Snapshot.readManifest(s"$dir/s1") shouldBe empty
   }
 
+  test("debug dump: deterministic JSON-lines + summary, re-dump is byte-identical") {
+    val cfg = SynthConfig(nPages = 40L, nSites = 3, nEntities = 15)
+    val g = Pipeline.run(Synth.pages(spark, cfg), Synth.aliases(spark, cfg),
+      Synth.sameAs(spark, cfg), cfg.nPages)
+    try {
+      val d1 = Files.createTempDirectory("graft-dbg1").toString
+      val d2 = Files.createTempDirectory("graft-dbg2").toString
+      DebugDump.dump(g, d1)
+      DebugDump.dump(g, d2)
+      def jsonOf(dir: String) = {
+        val f = new java.io.File(s"$dir/triples").listFiles()
+          .filter(_.getName.endsWith(".json")).head
+        new String(Files.readAllBytes(f.toPath), "UTF-8")
+      }
+      jsonOf(d1) shouldBe jsonOf(d2)
+      jsonOf(d1).linesIterator.size.toLong shouldBe g.triples.count()
+      new String(Files.readAllBytes(
+        java.nio.file.Paths.get(d1, "summary.txt")), "UTF-8") should
+        include("triples by predicate:")
+    } finally g.unpersist()
+  }
+
   test("full build is idempotent and kill-resume-safe at stage granularity") {
     val cfg = SynthConfig(nPages = 60L, nSites = 3, nEntities = 20)
     val dir = Files.createTempDirectory("graft-build").toString
