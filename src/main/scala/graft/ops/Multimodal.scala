@@ -27,6 +27,7 @@ object Multimodal {
     def at(i: Int, v: Int) = payload.length > i && (payload(i) & 0xFF) == v
     if (at(0, 0x89) && at(1, 'P') && at(2, 'N') && at(3, 'G')) "png"
     else if (at(0, 0xFF) && at(1, 0xD8)) "jpeg"
+    else if (at(0, 'G') && at(1, 'I') && at(2, 'F')) "gif"
     else if (at(0, 'R') && at(1, 'I') && at(2, 'F') && at(3, 'F')) "riff"
     else if (at(4, 'f') && at(5, 't') && at(6, 'y') && at(7, 'p')) "mp4"
     else "unknown"
@@ -37,18 +38,47 @@ object Multimodal {
     ((b(off) & 0xFF) << 24) | ((b(off + 1) & 0xFF) << 16) |
       ((b(off + 2) & 0xFF) << 8) | (b(off + 3) & 0xFF)
 
+  private def be16(b: Array[Byte], off: Int): Int =
+    ((b(off) & 0xFF) << 8) | (b(off + 1) & 0xFF)
+
+  private def le16(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xFF) | ((b(off + 1) & 0xFF) << 8)
+
+  /** Real JPEG dimension parse: walk the marker segments from SOI to the
+    * first SOF (C0–CF except C4/C8/CC); height/width are big-endian at
+    * +5/+7 of the SOF segment. Pure byte inspection, no libraries. */
+  def jpegDims(b: Array[Byte]): Option[(Int, Int)] = {
+    var i = 2
+    while (i + 3 < b.length && (b(i) & 0xFF) == 0xFF) {
+      val marker = b(i + 1) & 0xFF
+      if (marker == 0xFF) { i += 1 } // fill byte
+      else if (marker >= 0xC0 && marker <= 0xCF &&
+        marker != 0xC4 && marker != 0xC8 && marker != 0xCC) {
+        return if (i + 8 < b.length) Some((be16(b, i + 7), be16(b, i + 5)))
+        else None // (width, height)
+      } else i += 2 + (if (i + 3 < b.length) be16(b, i + 2) else return None)
+    }
+    None
+  }
+
   /** A "decoder" handle that is expensive to construct — initialized
     * once per partition, not per row (mapPartitions closure). */
   final class StubCodec {
-    /** PNG IHDR width/height is a real parse; everything else is a
-      * ??? -grade STUB: deterministic fake dims from the payload hash. */
+    /** PNG IHDR, GIF logical-screen, and JPEG SOF width/height are REAL
+      * byte-level parses; everything else (riff/mp4 media, pixel decode)
+      * is a ??? -grade STUB: deterministic fake dims from the payload
+      * hash. */
     def decodeDims(payload: Array[Byte]): (Int, Int) =
-      if (sniffFormat(payload) == "png" && payload.length >= 24)
-        (be32(payload, 16), be32(payload, 20))
-      else {
-        val h = Det.h(payload.length.toLong,
-          if (payload.nonEmpty) payload(0).toLong else 0L)
-        (64 + Det.nonNeg(h, 1024), 64 + Det.nonNeg(Det.mix64(h), 1024))
+      sniffFormat(payload) match {
+        case "png" if payload.length >= 24 =>
+          (be32(payload, 16), be32(payload, 20))
+        case "gif" if payload.length >= 10 =>
+          (le16(payload, 6), le16(payload, 8))
+        case "jpeg" if jpegDims(payload).isDefined => jpegDims(payload).get
+        case _ =>
+          val h = Det.h(payload.length.toLong,
+            if (payload.nonEmpty) payload(0).toLong else 0L)
+          (64 + Det.nonNeg(h, 1024), 64 + Det.nonNeg(Det.mix64(h), 1024))
       }
 
     /** STUB feature extractor: seeded hash → 8-dim pseudo-embedding

@@ -231,6 +231,23 @@ class OpsSpec extends SparkSpec {
     r(1L).height shouldBe 200
     r(2L).format shouldBe "unknown"
     r(2L).feature.length shouldBe 8
+    // GIF logical-screen (little-endian) and JPEG SOF (big-endian,
+    // behind an APP0 segment) headers are real parses too
+    val gif = "GIF89a".getBytes("US-ASCII") ++
+      Array[Int](0x40, 0x01, /* 320 */ 0xC8, 0x00 /* 200 */).map(_.toByte)
+    val jpeg = Array[Int](0xFF, 0xD8,
+      0xFF, 0xE0, 0x00, 0x04, 0x00, 0x00, // APP0, len 4 (skipped)
+      0xFF, 0xC0, 0x00, 0x0B, 0x08,
+      0x00, 0xC8, /* h=200 */ 0x01, 0x40, /* w=320 */ 0x01).map(_.toByte)
+    val more = spark.createDataset(Seq(
+      Multimodal.MediaRow(3L, "image", gif),
+      Multimodal.MediaRow(4L, "image", jpeg)))
+    val r2 = Multimodal.decodeAndFeaturize(more).collect()
+      .map(m => m.media_id -> m).toMap
+    r2(3L).format shouldBe "gif"
+    (r2(3L).width, r2(3L).height) shouldBe ((320, 200))
+    r2(4L).format shouldBe "jpeg"
+    (r2(4L).width, r2(4L).height) shouldBe ((320, 200))
     // determinism across runs
     val again = Multimodal.decodeAndFeaturize(media).collect()
       .map(m => m.media_id -> m.feature.toSeq).toMap
