@@ -30,10 +30,12 @@ object Pipeline {
       triples: Dataset[TripleRow],
       nodes: Dataset[NodeRow],
       adjacency: Dataset[AdjacencyRow],
-      pageEntities: DataFrame) {
+      pageEntities: DataFrame,
+      candidates: Dataset[CandidateRow]) {
     /** Release the intermediate caches `run` installed. */
     def unpersist(): Unit = {
       extracted.unpersist()
+      candidates.unpersist()
       linked.unpersist()
       canon.unpersist()
       pageEntities.unpersist()
@@ -54,7 +56,10 @@ object Pipeline {
     import spark.implicits._
 
     val extracted = Extract.run(pages).persist(StorageLevel.MEMORY_AND_DISK)
+    // persisted because resolve() consumes candidates twice: eagerly for
+    // the alias-df aggregate and again in the linking pass
     val cands = Mention.detect(extracted, aliases)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val linked = Link.resolve(cands, nPages).persist(StorageLevel.MEMORY_AND_DISK)
     val entities = aliases.map(a => java.lang.Long.valueOf(a.entity_id)).distinct()
     val canon = ConnectedComponents.canonMap(entities, sameas)
@@ -66,7 +71,8 @@ object Pipeline {
     val triples = Emit.triples(extracted, linked, canon, Some(pe))
     val nodesAll = Emit.nodes(extracted, triples)
     val nodes = Emit.dropOrphans(nodesAll, triples)
-    Graph(extracted, linked, canon, triples, nodes, Emit.adjacency(triples), pe)
+    Graph(extracted, linked, canon, triples, nodes, Emit.adjacency(triples),
+      pe, cands)
   }
 
   /** Number of url-hash buckets for partitioned table layout. At cluster
