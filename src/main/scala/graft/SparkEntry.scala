@@ -423,7 +423,7 @@ object SparkEntry {
         |    ELSE []::VARCHAR[] END AS mins
         |  FROM g)
         |SELECT doc_id,
-        |  array_to_string(list_sort(list_distinct(mins)), ',') AS fps
+        |  coalesce(array_to_string(list_sort(list_distinct(mins)), ','), '') AS fps
         |FROM m ORDER BY doc_id""".stripMargin,
     // SimHash brute-force re-derivation: md5-derived 64-bit token hash
     // ((hi-signed)*2^32+lo assembles the first 8 md5 bytes big-endian,

@@ -14,21 +14,31 @@ import org.apache.spark.sql.functions._
 object DebugDump {
 
   def dump(g: Pipeline.Graph, dir: String): Unit = {
-    g.triples.toDF().orderBy("subj", "pred", "obj").coalesce(1)
-      .write.mode("overwrite").json(s"$dir/triples")
-    g.nodes.toDF().orderBy("node_id").coalesce(1)
-      .write.mode("overwrite").json(s"$dir/nodes")
+    // triples/nodes are derived (not persisted) plans — cache them for
+    // the duration of the dump so its multiple actions don't re-run the
+    // emit joins each time
+    val triples = g.triples.toDF().persist()
+    val nodes = g.nodes.toDF().persist()
+    try {
+      triples.orderBy("subj", "pred", "obj").coalesce(1)
+        .write.mode("overwrite").json(s"$dir/triples")
+      nodes.orderBy("node_id").coalesce(1)
+        .write.mode("overwrite").json(s"$dir/nodes")
 
-    val byPred = g.triples.toDF().groupBy("pred").count()
-      .orderBy("pred").collect()
-      .map(r => f"${r.getString(0)}%-12s ${r.getLong(1)}%d")
-    val summary =
-      (Seq(s"nodes: ${g.nodes.count()}", "triples by predicate:") ++
-        byPred.map("  " + _)).mkString("", "\n", "\n")
-    val p = java.nio.file.Paths.get(dir, "summary.txt")
-    java.nio.file.Files.createDirectories(p.getParent)
-    java.nio.file.Files.write(p,
-      summary.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    ()
+      val byPred = triples.groupBy("pred").count()
+        .orderBy("pred").collect()
+        .map(r => f"${r.getString(0)}%-12s ${r.getLong(1)}%d")
+      val summary =
+        (Seq(s"nodes: ${nodes.count()}", "triples by predicate:") ++
+          byPred.map("  " + _)).mkString("", "\n", "\n")
+      val p = java.nio.file.Paths.get(dir, "summary.txt")
+      java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.write(p,
+        summary.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      ()
+    } finally {
+      triples.unpersist()
+      nodes.unpersist()
+    }
   }
 }

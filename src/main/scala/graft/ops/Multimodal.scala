@@ -27,7 +27,8 @@ object Multimodal {
     def at(i: Int, v: Int) = payload.length > i && (payload(i) & 0xFF) == v
     if (at(0, 0x89) && at(1, 'P') && at(2, 'N') && at(3, 'G')) "png"
     else if (at(0, 0xFF) && at(1, 0xD8)) "jpeg"
-    else if (at(0, 'G') && at(1, 'I') && at(2, 'F')) "gif"
+    else if (at(0, 'G') && at(1, 'I') && at(2, 'F') && at(3, '8') &&
+      (at(4, '7') || at(4, '9')) && at(5, 'a')) "gif"
     else if (at(0, 'R') && at(1, 'I') && at(2, 'F') && at(3, 'F')) "riff"
     else if (at(4, 'f') && at(5, 't') && at(6, 'y') && at(7, 'p')) "mp4"
     else "unknown"
@@ -56,7 +57,7 @@ object Multimodal {
         marker != 0xC4 && marker != 0xC8 && marker != 0xCC) {
         return if (i + 8 < b.length) Some((be16(b, i + 7), be16(b, i + 5)))
         else None // (width, height)
-      } else i += 2 + (if (i + 3 < b.length) be16(b, i + 2) else return None)
+      } else i += 2 + be16(b, i + 2) // loop guard re-checks bounds
     }
     None
   }
@@ -74,12 +75,16 @@ object Multimodal {
           (be32(payload, 16), be32(payload, 20))
         case "gif" if payload.length >= 10 =>
           (le16(payload, 6), le16(payload, 8))
-        case "jpeg" if jpegDims(payload).isDefined => jpegDims(payload).get
-        case _ =>
-          val h = Det.h(payload.length.toLong,
-            if (payload.nonEmpty) payload(0).toLong else 0L)
-          (64 + Det.nonNeg(h, 1024), 64 + Det.nonNeg(Det.mix64(h), 1024))
+        case "jpeg" =>
+          jpegDims(payload).getOrElse(fakeDims(payload))
+        case _ => fakeDims(payload)
       }
+
+    private def fakeDims(payload: Array[Byte]): (Int, Int) = {
+      val h = Det.h(payload.length.toLong,
+        if (payload.nonEmpty) payload(0).toLong else 0L)
+      (64 + Det.nonNeg(h, 1024), 64 + Det.nonNeg(Det.mix64(h), 1024))
+    }
 
     /** STUB feature extractor: seeded hash → 8-dim pseudo-embedding
       * (stands in for a real vision/audio model; deterministic so the
