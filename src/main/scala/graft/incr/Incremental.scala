@@ -46,6 +46,14 @@ import org.apache.spark.sql.functions._
   *    clean text is re-summarized; SITE/PROJECT roll-ups recompute from
   *    the materialized page summaries (pruned scan, no text).
   *
+  * Change short-circuits: every derived table is a pure function of
+  * named inputs, so each rebuild is guarded by an order-insensitive
+  * checksum of those inputs — candidates unchanged ⇒ aliasdf + linked
+  * skipped; (linked, canon) unchanged ⇒ mentions + relates_to + their
+  * adjacency skipped; (link arrays, url set) unchanged ⇒ links_to
+  * skipped. A body-text edit that touches no mention and no link
+  * rewrites only extracted, nodes and enriched.
+  *
   * `nPages` is the score-normalization constant and must equal the value
   * used at full-build time; changing it rescales every idf and requires a
   * full relink (pass a fresh full build instead).
@@ -128,6 +136,25 @@ object Incremental {
       spark.read.parquet(s"$outDir/canon/data"),
       Seq("entity_id", "canon_id"))
 
+    val candDir = s"$outDir/candidates/data"
+    val candValueCols =
+      Seq("url", "tok_start", "tok_len", "alias", "entity_id", "prior")
+    def candCk(df: DataFrame) = checksumOf(df, candValueCols)
+    def linksArrCk(buckets: Seq[Long]) = checksumOf(
+      spark.read.parquet(exDir)
+        .filter(col("bucket").isin(buckets: _*))
+        .select(col("url"), concat_ws("\u0001", col("links")).as("l")),
+      Seq("url", "l"))
+
+    // pre-update checksums of what the dirty buckets held — each derived
+    // table below is rebuilt ONLY if its actual inputs changed, so e.g.
+    // a body-text edit that leaves mentions and links alone touches
+    // nothing but extracted/nodes/enriched
+    val preCandCk = candCk(
+      spark.read.schema(candSchema).parquet(candDir)
+        .filter(col("bucket").isin(dirty: _*)))
+    val preLinksArrCk = linksArrCk(dirty)
+
     // ---- extracted: rebuild the FULL dirty buckets from the new
     // snapshot; a bucket is the overwrite unit, and one left with zero
     // urls is deleted outright (stale-partition bug otherwise)
@@ -139,25 +166,27 @@ object Incremental {
 
     // ---- candidates (the parse-cache analog): re-detect dirty buckets
     // only; relink-only buckets read their stored candidates later
-    val candDir = s"$outDir/candidates/data"
     val exDirtyDs = extractedDirty.drop("bucket").as[ExtractedPage]
     val candidatesDirty = Mention.detect(exDirtyDs, aliases).toDF()
       .withColumn("bucket", Pipeline.bucketOf(col("url"), nBuckets))
       .cache()
-    overwriteBuckets(spark, candidatesDirty, candDir, dirty)
-
-    // ---- aliasdf: same dirty buckets (df_b is bucket-local)
-    overwriteBuckets(spark,
-      candidatesDirty.select(col("bucket"), col("url"), col("alias"))
-        .distinct()
-        .groupBy(col("bucket"), col("alias"))
-        .agg(count(lit(1)).as("df_b")),
-      adfDir, dirty)
+    val candidatesChanged = candCk(candidatesDirty) != preCandCk
+    if (candidatesChanged) {
+      overwriteBuckets(spark, candidatesDirty, candDir, dirty)
+      // aliasdf: same dirty buckets (df_b is bucket-local)
+      overwriteBuckets(spark,
+        candidatesDirty.select(col("bucket"), col("url"), col("alias"))
+          .distinct()
+          .groupBy(col("bucket"), col("alias"))
+          .agg(count(lit(1)).as("df_b")),
+        adfDir, dirty)
+    }
     candidatesDirty.unpersist()
     extractedDirty.unpersist()
 
     // ---- relink scope: dirty ∪ buckets containing a changed-df alias
-    val newDfMap = collectGlobalAliasDf(spark, adfDir)
+    val newDfMap =
+      if (candidatesChanged) collectGlobalAliasDf(spark, adfDir) else oldDfMap
     val changedAliases = (oldDfMap.keySet ++ newDfMap.keySet)
       .filter(a => oldDfMap.getOrElse(a, 0L) != newDfMap.getOrElse(a, 0L))
     val relink: Seq[Long] =
@@ -178,14 +207,28 @@ object Incremental {
 
     // ---- relink against the GLOBAL df (incremental ≡ full rebuild);
     // candidates come from storage — no page is re-tokenized just
-    // because some alias's df changed
-    val candsRelink = spark.read.schema(candSchema).parquet(candDir)
-      .filter(col("bucket").isin(relink: _*))
-      .drop("bucket").as[CandidateRow]
-    overwriteBuckets(spark,
-      Link.resolve(candsRelink, nPages, Some(newDfMap)).toDF()
-        .withColumn("bucket", Pipeline.bucketOf(col("url"), nBuckets)),
-      s"$outDir/linked/data", relink)
+    // because some alias's df changed. Skipped entirely when candidates
+    // (and hence every df) are byte-identical: linking is a pure
+    // function of (candidates, df, nPages).
+    val linkedCols =
+      Seq("url", "tok_start", "tok_len", "alias", "entity_id", "score")
+    val linkedChanged =
+      if (!candidatesChanged) false
+      else {
+        val preLinkedCk = checksumOf(
+          spark.read.schema(linkedSchema)
+            .parquet(s"$outDir/linked/data")
+            .filter(col("bucket").isin(relink: _*)), linkedCols)
+        val candsRelink = spark.read.schema(candSchema).parquet(candDir)
+          .filter(col("bucket").isin(relink: _*))
+          .drop("bucket").as[CandidateRow]
+        val newLinked =
+          Link.resolve(candsRelink, nPages, Some(newDfMap)).toDF()
+            .withColumn("bucket", Pipeline.bucketOf(col("url"), nBuckets))
+            .localCheckpoint()
+        overwriteBuckets(spark, newLinked, s"$outDir/linked/data", relink)
+        checksumOf(newLinked, linkedCols) != preLinkedCk
+      }
 
     // ---- canon: recompute; a changed map moves mentions/relates rows in
     // every bucket, so compare before deciding the mentions scope
@@ -205,10 +248,14 @@ object Incremental {
           canon, "entity_id", col("url"))
         .select(col("url"), col("canon_id")).distinct()
 
+    // each derived table rebuilds only if its inputs changed
+    val mentionsNeeded = canonChanged || linkedChanged
+    val linksChanged = existenceChanged || linksArrCk(dirty) != preLinksArrCk
+
     // ---- triples: pred=mentions (url-local given canon)
     val mentionScope: Seq[Long] =
       if (canonChanged) (0L until nBuckets.toLong).toSeq else relink
-    overwriteBuckets(spark,
+    if (mentionsNeeded) overwriteBuckets(spark,
       cmOf(lk.filter(col("bucket").isin(mentionScope: _*)))
         .select(col("url").as("subj"),
           concat(lit("ent:"), col("canon_id")).as("obj"))
@@ -228,7 +275,7 @@ object Incremental {
         (dirty ++ affected).distinct.sorted
       }
     val urlSet = ex.select(col("url").as("obj"))
-    overwriteBuckets(spark,
+    if (linksChanged) overwriteBuckets(spark,
       ex.filter(col("bucket").isin(linkScope: _*))
         .select(col("url").as("subj"), explode(col("links")).as("obj"))
         .join(urlSet, Seq("obj"), "left_semi").distinct()
@@ -252,16 +299,19 @@ object Incremental {
     }
 
     // ---- triples: pred=relates_to — global by nature (cross-page
-    // co-mention dedup); column-pruned linked+canon, no text
-    val cmAll = cmOf(lk)
-    replaceSubtree(
-      cmAll.as("a").join(cmAll.as("b"), Seq("url"))
-        .filter(col("a.canon_id") < col("b.canon_id"))
-        .select(concat(lit("ent:"), col("a.canon_id")).as("subj"),
-          concat(lit("ent:"), col("b.canon_id")).as("obj"))
-        .distinct()
-        .withColumn("bucket", Pipeline.bucketOf(col("subj"), nBuckets)),
-      s"$triplesDir/pred=relates_to")
+    // co-mention dedup) and a pure function of (linked, canon), so it is
+    // skipped when neither changed; column-pruned, no text
+    if (mentionsNeeded) {
+      val cmAll = cmOf(lk)
+      replaceSubtree(
+        cmAll.as("a").join(cmAll.as("b"), Seq("url"))
+          .filter(col("a.canon_id") < col("b.canon_id"))
+          .select(concat(lit("ent:"), col("a.canon_id")).as("subj"),
+            concat(lit("ent:"), col("b.canon_id")).as("obj"))
+          .distinct()
+          .withColumn("bucket", Pipeline.bucketOf(col("subj"), nBuckets)),
+        s"$triplesDir/pred=relates_to")
+    }
 
     // ---- adjacency mirrors the triples writes 1:1 (each pred sub-table
     // is already distinct on (subj, obj), so adjacency is a reorder)
@@ -275,10 +325,12 @@ object Incremental {
         case None => replaceSubtree(rows, s"$adjDir/pred=$pred")
       }
     }
-    adjacencyFor("mentions", Some(mentionScope))
-    adjacencyFor("links_to", Some(linkScope))
+    if (mentionsNeeded) {
+      adjacencyFor("mentions", Some(mentionScope))
+      adjacencyFor("relates_to", None)
+    }
+    if (linksChanged) adjacencyFor("links_to", Some(linkScope))
     if (existenceChanged) adjacencyFor("contains", None)
-    adjacencyFor("relates_to", None)
 
     // ---- nodes: global but column-pruned (sites/urls/props + endpoints)
     val tAll = spark.read.parquet(triplesDir)

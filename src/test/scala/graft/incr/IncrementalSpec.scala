@@ -107,9 +107,10 @@ class IncrementalSpec extends SparkSpec {
     Pipeline.build(spark, oldPages, Synth.aliases(spark, cfg),
       Synth.sameAs(spark, cfg), cfg.nPages, dir, "snap-old", N)
 
-    // append NON-alias filler to one page: its bucket is dirty, but its
-    // alias set (hence every alias df) is unchanged → relink scope is
-    // exactly that bucket
+    // scenario A: append NON-alias filler to one page — its bucket is
+    // dirty, but candidates/links are byte-identical, so every derived
+    // table (candidates, aliasdf, linked, all triple preds) is SKIPPED:
+    // only the extracted partition of that bucket is rewritten
     val newP = oldPages.map { p =>
       if (p.url.endsWith("/p/3"))
         p.copy(
@@ -127,24 +128,67 @@ class IncrementalSpec extends SparkSpec {
       "linked/data",
       "triples/data/pred=mentions", "triples/data/pred=links_to",
       "adjacency/data/pred=mentions", "adjacency/data/pred=links_to")
-    val before = (for (t <- urlLocal; i <- 0 until N)
-      yield s"$t/bucket=$i" -> fileSet(s"$dir/$t/bucket=$i")).toMap
-    val containsBefore = fileSet(s"$dir/triples/data/pred=contains")
+    def snap() = (for (t <- urlLocal; i <- 0 until N)
+      yield s"$t/bucket=$i" -> fileSet(s"$dir/$t/bucket=$i")).toMap ++
+      Map("triples/data/pred=contains" ->
+        fileSet(s"$dir/triples/data/pred=contains"),
+        "triples/data/pred=relates_to" ->
+          fileSet(s"$dir/triples/data/pred=relates_to"))
+    val beforeA = snap()
 
-    val dirty = Incremental.update(spark, oldPages, newP,
+    val dirtyA = Incremental.update(spark, oldPages, newP,
       Synth.aliases(spark, cfg), Synth.sameAs(spark, cfg), cfg.nPages,
       dir, "snap-new", N)
-    dirty shouldBe Seq(b)
+    dirtyA shouldBe Seq(b)
 
-    for (t <- urlLocal; i <- 0 until N) {
-      val now = fileSet(s"$dir/$t/bucket=$i")
-      withClue(s"$t/bucket=$i (dirty bucket = $b): ") {
-        if (i.toLong == b) now should not be before(s"$t/bucket=$i")
-        else now shouldBe before(s"$t/bucket=$i")
-      }
+    val afterA = snap()
+    for ((k, v) <- beforeA) withClue(s"A: $k (dirty bucket = $b): ") {
+      if (k == s"extracted/data/bucket=$b") afterA(k) should not be v
+      else afterA(k) shouldBe v // derived tables provably unchanged → skipped
     }
-    // no urls were added/deleted → the contains hierarchy is untouched
-    fileSet(s"$dir/triples/data/pred=contains") shouldBe containsBefore
+
+    // scenario B: append an alias the page ALREADY mentions — candidates
+    // and linked change (new mention position, support shifts) but only
+    // in that bucket; alias df is unchanged (same distinct-url set), the
+    // mention ENTITY set per page is unchanged, so mentions/relates stay
+    val existingAlias = spark.read.parquet(s"$dir/candidates/data")
+      .filter(col("url") === targetUrl)
+      .select(col("alias")).head().getString(0)
+    val newP2 = newP.map { p =>
+      if (p.url.endsWith("/p/3"))
+        p.copy(
+          warc_ts = new Timestamp(p.warc_ts.getTime + 14400000L),
+          html = (new String(p.html, "UTF-8")
+            .replace("</body>", s"<p>$existingAlias</p></body>"))
+            .getBytes("UTF-8"))
+      else p
+    }
+    val beforeB = snap()
+    val dirtyB = Incremental.update(spark, newP, newP2,
+      Synth.aliases(spark, cfg), Synth.sameAs(spark, cfg), cfg.nPages,
+      dir, "snap-new2", N)
+    dirtyB shouldBe Seq(b)
+    val afterB = snap()
+    for (t <- Seq("extracted/data", "candidates/data", "linked/data"))
+      withClue(s"B: $t/bucket=$b: ") {
+        afterB(s"$t/bucket=$b") should not be beforeB(s"$t/bucket=$b")
+      }
+    // linked changed → mentions (+ relates, global) are recomputed, but
+    // ONLY the relink bucket's mention partitions; link arrays did not
+    // change, so links_to and its adjacency stay untouched everywhere
+    for (i <- 0 until N if i.toLong != b;
+         t <- urlLocal)
+      withClue(s"B: $t/bucket=$i: ") {
+        afterB(s"$t/bucket=$i") shouldBe beforeB(s"$t/bucket=$i")
+      }
+    for (t <- Seq("triples/data/pred=links_to", "adjacency/data/pred=links_to"))
+      withClue(s"B: $t/bucket=$b: ") {
+        afterB(s"$t/bucket=$b") shouldBe beforeB(s"$t/bucket=$b")
+      }
+    withClue("B: contains: ") {
+      afterB("triples/data/pred=contains") shouldBe
+        beforeB("triples/data/pred=contains")
+    }
   }
 
   test("a bucket whose urls are ALL deleted loses its partitions entirely") {
