@@ -87,6 +87,14 @@ class IncrementalSpec extends SparkSpec {
     // manifests stamped with the new snapshot id
     graft.meta.Snapshot.readManifest(s"$incDir/extracted").get.snapshotId shouldBe "snap-new"
     graft.meta.Snapshot.readManifest(s"$incDir/triples").get.snapshotId shouldBe "snap-new"
+
+    // re-running the SAME update is a no-op-equivalent (kill-and-rerun
+    // safety: a crashed update is recovered by running it again)
+    Incremental.update(spark, oldPages, newPages,
+      Synth.aliases(spark, cfg), Synth.sameAs(spark, cfg), cfg.nPages,
+      incDir, "snap-new-rerun", N)
+    triplesOf(incDir) shouldBe triplesOf(fullDir)
+    nodesOf(incDir) shouldBe nodesOf(fullDir)
   }
 
   private def fileSet(dir: String): Set[String] = {

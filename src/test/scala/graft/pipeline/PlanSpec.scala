@@ -83,6 +83,19 @@ class PlanSpec extends SparkSpec {
     } finally g.unpersist()
   }
 
+  test("link stage shuffles the candidate stream exactly once") {
+    import graft.model.CandidateRow
+    val cands = spark.createDataset(Seq(
+      CandidateRow("u1", 0, 1, "acme", 1L, 0.9),
+      CandidateRow("u1", 0, 1, "acme", 2L, 0.8),
+      CandidateRow("u2", 3, 1, "acme", 1L, 0.9)))
+    // the alias-df aggregate is collected+broadcast (its own tiny job);
+    // the RESOLVE plan itself must shuffle candidates once — on url —
+    // for the fused support+argmax pass (round 1 had three shuffles)
+    val p = plan(graft.link.Link.resolve(cands, 10L).toDF())
+    "Exchange hashpartitioning".r.findAllIn(p).length shouldBe 1
+  }
+
   test("url-dedup aggregates partially before the exchange (map-side combine)") {
     val cfg = SynthConfig(nPages = 50L)
     val p = plan(graft.extract.Extract.run(Synth.pages(spark, cfg)).toDF())
