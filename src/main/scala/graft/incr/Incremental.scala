@@ -60,25 +60,30 @@ import org.apache.spark.sql.functions._
   */
 object Incremental {
 
+  /** Per-url winning html hash — the dedup winner's fingerprint, without
+    * shuffling html bodies: map-side partial max_by moves only
+    * (url, ts, hash) tuples across the wire. The staged build persists
+    * this as the `urlhash` stage so updates never need the OLD corpus
+    * (one scan of the new snapshot, not two). */
+  def urlHashes(p: Dataset[PageRow], out: String = "h"): DataFrame =
+    p.toDF()
+      .select(col("url"), col("warc_ts"), xxhash64(col("html")).as("h0"))
+      .groupBy(col("url"))
+      .agg(max_by(col("h0"), struct(col("warc_ts"), col("h0"))).as(out))
+
   /** Snapshot diff on url: added / deleted / changed / unchanged,
-    * comparing the (deduped) html payload hash. */
-  def diff(oldPages: Dataset[PageRow], newPages: Dataset[PageRow]): DataFrame = {
-    // per-url winning html hash without shuffling html bodies: map-side
-    // partial max_by moves only (url, ts, hash) tuples across the wire
-    def urlHash(p: Dataset[PageRow], out: String): DataFrame =
-      p.toDF()
-        .select(col("url"), col("warc_ts"), xxhash64(col("html")).as("h"))
-        .groupBy(col("url"))
-        .agg(max_by(col("h"), struct(col("warc_ts"), col("h"))).as(out))
-    val o = urlHash(oldPages, "old_h")
-    val n = urlHash(newPages, "new_h")
-    o.join(n, Seq("url"), "full_outer")
+    * comparing per-url winning hashes. */
+  def diffHashes(oldH: DataFrame, newH: DataFrame): DataFrame =
+    oldH.join(newH, Seq("url"), "full_outer")
       .select(col("url"),
         when(col("old_h").isNull, lit("added"))
           .when(col("new_h").isNull, lit("deleted"))
           .when(col("old_h") =!= col("new_h"), lit("changed"))
           .otherwise(lit("unchanged")).as("status"))
-  }
+
+  /** Snapshot diff from the two page tables (hashes both sides). */
+  def diff(oldPages: Dataset[PageRow], newPages: Dataset[PageRow]): DataFrame =
+    diffHashes(urlHashes(oldPages, "old_h"), urlHashes(newPages, "new_h"))
 
   /** Buckets containing any non-unchanged url (collected — bucket count
     * is small and bounded, e.g. 2^14 at cluster scale). */
@@ -87,7 +92,8 @@ object Incremental {
       .select(Pipeline.bucketOf(col("url"), nBuckets).as("bucket"))
       .distinct().collect().map(_.getLong(0)).toSeq.sorted
 
-  /** Incrementally update a `Pipeline.build` output directory in place.
+  /** Incrementally update a `Pipeline.build` output directory in place,
+    * diffing the new snapshot against the provided OLD page table.
     * Returns the dirty bucket list (empty → nothing to do). */
   def update(
       spark: SparkSession,
@@ -98,12 +104,46 @@ object Incremental {
       nPages: Long,
       outDir: String,
       newSnapshotId: String,
+      nBuckets: Int = 32): Seq[Long] =
+    updateCore(spark, urlHashes(oldPages, "old_h"), newPages, aliases,
+      sameas, nPages, outDir, newSnapshotId, nBuckets)
+
+  /** Incrementally update WITHOUT the old corpus: the diff runs against
+    * the `urlhash` stage the build persisted — one scan of the new
+    * snapshot instead of two, and the previous snapshot's pages need not
+    * exist anymore (the production shape: old WARC drops age out). */
+  def updateFromStored(
+      spark: SparkSession,
+      newPages: Dataset[PageRow],
+      aliases: Dataset[AliasRow],
+      sameas: Dataset[SameAsEdge],
+      nPages: Long,
+      outDir: String,
+      newSnapshotId: String,
       nBuckets: Int = 32): Seq[Long] = {
+    val oldH = spark.read.schema(urlhashSchema)
+      .parquet(s"$outDir/urlhash/data")
+      .select(col("url"), col("h").as("old_h"))
+    updateCore(spark, oldH, newPages, aliases, sameas, nPages, outDir,
+      newSnapshotId, nBuckets)
+  }
+
+  private def updateCore(
+      spark: SparkSession,
+      oldH: DataFrame, // (url, old_h)
+      newPages: Dataset[PageRow],
+      aliases: Dataset[AliasRow],
+      sameas: Dataset[SameAsEdge],
+      nPages: Long,
+      outDir: String,
+      newSnapshotId: String,
+      nBuckets: Int): Seq[Long] = {
     import spark.implicits._
 
-    val d = diff(oldPages, newPages).cache()
+    val newH = urlHashes(newPages, "new_h").cache()
+    val d = diffHashes(oldH, newH).cache()
     val dirty = dirtyBuckets(d, nBuckets)
-    if (dirty.isEmpty) { d.unpersist(); return dirty }
+    if (dirty.isEmpty) { d.unpersist(); newH.unpersist(); return dirty }
 
     // urls whose EXISTENCE changed (drives links_to/contains scoping) and
     // urls touched in any way (drives the enriched neighbor scope)
@@ -116,8 +156,8 @@ object Incremental {
     // mark every stage in-progress BEFORE any data dir is touched: a kill
     // mid-update must not leave old manifests pointing at mixed data
     // (they are re-stamped with the new snapshot id at the end)
-    Seq("extracted", "candidates", "aliasdf", "linked", "canon", "triples",
-      "nodes", "adjacency", "enriched")
+    Seq("urlhash", "extracted", "candidates", "aliasdf", "linked", "canon",
+      "triples", "nodes", "adjacency", "enriched")
       .foreach(s => Snapshot.invalidate(s"$outDir/$s"))
 
     val exDir = s"$outDir/extracted/data"
@@ -154,6 +194,14 @@ object Incremental {
       spark.read.schema(candSchema).parquet(candDir)
         .filter(col("bucket").isin(dirty: _*)))
     val preLinksArrCk = linksArrCk(dirty)
+
+    // ---- urlhash: maintain the stored per-url fingerprints so the NEXT
+    // update can diff without the old corpus (updateFromStored)
+    overwriteBuckets(spark,
+      newH.select(col("url"), col("new_h").as("h"))
+        .withColumn("bucket", Pipeline.bucketOf(col("url"), nBuckets))
+        .filter(col("bucket").isin(dirty: _*)),
+      s"$outDir/urlhash/data", dirty)
 
     // ---- extracted: rebuild the FULL dirty buckets from the new
     // snapshot; a bucket is the overwrite unit, and one left with zero
@@ -371,12 +419,14 @@ object Incremental {
 
     // stamp manifests with the new snapshot id (≙ PROJECT.commit_hash
     // stamp, clangd_graph_rag_builder.py:112-122)
-    Seq("extracted" -> HtmlText.VERSION, "candidates" -> "mention-v1",
-      "aliasdf" -> "link-v1", "linked" -> "link-v1", "canon" -> "canon-v1",
-      "triples" -> "emit-v1", "nodes" -> "emit-v1",
-      "adjacency" -> "emit-v1", "enriched" -> "enrich-v1").foreach {
+    Seq("urlhash" -> "diff-v1", "extracted" -> HtmlText.VERSION,
+      "candidates" -> "mention-v1", "aliasdf" -> "link-v1",
+      "linked" -> "link-v1", "canon" -> "canon-v1", "triples" -> "emit-v1",
+      "nodes" -> "emit-v1", "adjacency" -> "emit-v1",
+      "enriched" -> "enrich-v1").foreach {
       case (stage, v) => Snapshot.stamp(spark, outDir, stage, newSnapshotId, v)
     }
+    newH.unpersist()
     changedUrls.unpersist()
     touchedUrls.unpersist()
     d.unpersist()
@@ -397,6 +447,10 @@ object Incremental {
   private val aliasdfSchema = new org.apache.spark.sql.types.StructType()
     .add("alias", org.apache.spark.sql.types.StringType)
     .add("df_b", org.apache.spark.sql.types.LongType)
+    .add("bucket", org.apache.spark.sql.types.LongType)
+  private val urlhashSchema = new org.apache.spark.sql.types.StructType()
+    .add("url", org.apache.spark.sql.types.StringType)
+    .add("h", org.apache.spark.sql.types.LongType)
     .add("bucket", org.apache.spark.sql.types.LongType)
 
   private def readAliasDf(spark: SparkSession, adfDir: String): DataFrame =

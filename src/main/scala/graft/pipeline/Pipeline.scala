@@ -100,6 +100,16 @@ object Pipeline {
       nBuckets: Int = 32): Unit = {
     import spark.implicits._
 
+    // per-url winning html fingerprint — lets the NEXT update diff
+    // against stored state instead of re-reading the old corpus
+    // (Incremental.updateFromStored)
+    Snapshot.stage(spark, outDir, "urlhash", snapshotId, "diff-v1",
+      Seq("bucket")) {
+      graft.incr.Incremental.urlHashes(pages)
+        .withColumn("bucket", bucketOf(col("url"), nBuckets))
+        .repartition(col("bucket"))
+    }
+
     val extracted = Snapshot.stage(spark, outDir, "extracted", snapshotId,
       HtmlText.VERSION, Seq("bucket")) {
       Extract.run(pages).toDF()

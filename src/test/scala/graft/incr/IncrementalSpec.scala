@@ -262,6 +262,32 @@ class IncrementalSpec extends SparkSpec {
     Incremental.dirtyBuckets(d, N) shouldBe empty
   }
 
+  test("updateFromStored: diff against the persisted urlhash stage, no old corpus") {
+    val incDir = Files.createTempDirectory("graft-stored").toString
+    val fullDir = Files.createTempDirectory("graft-stored-full").toString
+    Pipeline.build(spark, oldPages, Synth.aliases(spark, cfg),
+      Synth.sameAs(spark, cfg), cfg.nPages, incDir, "snap-old", N)
+
+    // old pages never passed in — only the new snapshot
+    val dirty = Incremental.updateFromStored(spark, newPages,
+      Synth.aliases(spark, cfg), Synth.sameAs(spark, cfg), cfg.nPages,
+      incDir, "snap-new", N)
+    dirty should not be empty
+
+    Pipeline.build(spark, newPages, Synth.aliases(spark, cfg),
+      Synth.sameAs(spark, cfg), cfg.nPages, fullDir, "snap-new", N)
+    def triplesOf(dir: String) = spark.read.parquet(s"$dir/triples/data")
+      .select("subj", "pred", "obj").collect().map(_.toSeq).toSet
+    triplesOf(incDir) shouldBe triplesOf(fullDir)
+
+    // the stored hashes were maintained: a SECOND stored-diff against the
+    // same snapshot is a no-op
+    val again = Incremental.updateFromStored(spark, newPages,
+      Synth.aliases(spark, cfg), Synth.sameAs(spark, cfg), cfg.nPages,
+      incDir, "snap-new2", N)
+    again shouldBe empty
+  }
+
   test("Det.xxh64Bytes equals SQL xxhash64 on binary columns") {
     val samples = Seq("", "a", "hello world", "<p>x</p>é中")
       .map(_.getBytes("UTF-8"))
