@@ -64,7 +64,9 @@ object IncrementalBench {
     }
     var dirty = Seq.empty[Long]
     val updSecs = time {
-      dirty = Incremental.update(spark, oldPages(), newPages(),
+      // production path: diff against the persisted urlhash stage — the
+      // old corpus is never read
+      dirty = Incremental.updateFromStored(spark, newPages(),
         Synth.aliases(spark, cfg), Synth.sameAs(spark, cfg), cfg.nPages,
         outDir, "snap-new", nBuckets)
     }
