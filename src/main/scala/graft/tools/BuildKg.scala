@@ -20,8 +20,11 @@ object BuildKg {
     val snapshotId =
       if (args.length > 3) args(3) else s"synth-seed42-n$nPages"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+    // honor a spark-submit-provided master (cluster runs); default to
+    // local[cpus] when launched standalone
+    val builder0 = SparkSession.builder()
+    val spark = (if (sys.props.contains("spark.master")) builder0
+                 else builder0.master(s"local[$cpus]"))
       .appName("graft-build-kg")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")

@@ -18,8 +18,11 @@ object StreamKg {
     val Array(inDir, outDir, ckptDir) = args.take(3)
     val seedPages = if (args.length > 3) args(3).toLong else 0L
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+    // honor a spark-submit-provided master (cluster runs); default to
+    // local[cpus] when launched standalone
+    val builder0 = SparkSession.builder()
+    val spark = (if (sys.props.contains("spark.master")) builder0
+                 else builder0.master(s"local[$cpus]"))
       .appName("graft-stream-kg")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
