@@ -71,20 +71,28 @@ object Bench {
     val kgBigTriples = kgTriples
     kgTriples = kgTriples20k
 
+    // A throwing query must be LOUD: it is excluded from the timing map
+    // and reported in an explicit "errors" object (a -1s contribution to
+    // the total would let a silently-broken query print a plausible line).
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val secs = time {
-        try fn(spark, sfDir).count()
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1L
-        }
+      val t0 = System.nanoTime()
+      val r = try { fn(spark, sfDir).count(); None }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+        Some(Option(e.getMessage).getOrElse(e.getClass.getName).take(120))
       }
-      name -> secs
+      (name, (System.nanoTime() - t0) / 1e9, r)
     }
-    val qs = results.map { case (k, v) => f""""$k":$v%.3f""" }
+    val qs = results.collect { case (k, v, None) => f""""$k":$v%.3f""" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum + kgSecs
+    val errs = results.collect { case (k, _, Some(m)) =>
+      "\"" + k + "\":\"" + m.replaceAll("[\"\\\\\\n\\r\\t]", " ") + "\""
+    }
+    val errJson =
+      if (errs.isEmpty) "" else errs.mkString(""","errors":{""", ",", "}")
+    val total = results.collect { case (_, v, None) => v }.sum + kgSecs
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"$errJson,"""
         + f""""kg_pages":$kgPages,"kg_triples":$kgTriples,"kg_secs":$kgSecs%.3f,"""
         + f""""kg_docs_per_sec":${kgPages / kgSecs}%.1f,"kg_triples_per_sec":${kgTriples / kgSecs}%.1f,"""
         + f""""kg_big_pages":$kgBigPages,"kg_big_secs":$kgBigSecs%.3f,"""

@@ -60,7 +60,13 @@ object Extract {
     * tag-aware extractor, else the plain-text fallback. One tiny
     * aggregate, same shape as Mention's maxLen inference. */
   def inferExtractor(pages: Dataset[PageRow], sampleSize: Int = 256): TextExtractor = {
-    val r = pages.toDF().limit(sampleSize)
+    // deterministic sample: the `sampleSize` rows with the smallest
+    // xxhash64(url) — a bare limit() would let partition layout decide
+    // which rows arrive, so the strategy pick could flip between
+    // otherwise-identical runs. orderBy+limit is TakeOrderedAndProject:
+    // a per-partition top-K, no global sort.
+    val r = pages.toDF()
+      .orderBy(xxhash64(col("url")), col("url")).limit(sampleSize)
       .select(when(
         instr(lower(col("html").cast("string")), "<html") > 0 ||
           instr(lower(col("html").cast("string")), "<body") > 0,

@@ -48,7 +48,9 @@ object GraphOps {
         visited = visited ++ frontier
         i += 1
       }
-      require(i < maxIter, s"reachability did not converge in $maxIter rounds")
+      // converged ⇔ the frontier drained; i == maxIter with an empty
+      // frontier is a legitimate exact-depth convergence
+      require(frontier.isEmpty, s"reachability did not converge in $maxIter rounds")
       val schema = org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField(
           "node", edges.schema("dst").dataType, nullable = true)))
@@ -73,7 +75,10 @@ object GraphOps {
       frontier = next
       i += 1
     }
-    require(i < maxIter, s"reachability did not converge in $maxIter rounds")
+    // frontier is localCheckpoint'ed — this isEmpty re-check is one cheap
+    // action, and unlike `i < maxIter` it cannot fire on exact-depth
+    // convergence
+    require(frontier.isEmpty, s"reachability did not converge in $maxIter rounds")
     // global dedup deferred to one pass over the (materialized) steps
     steps.reduceOption(_ union _).map(_.distinct()).getOrElse(
       spark.createDataFrame(

@@ -47,13 +47,19 @@ object Multimodal {
 
   /** Real JPEG dimension parse: walk the marker segments from SOI to the
     * first SOF (C0–CF except C4/C8/CC); height/width are big-endian at
-    * +5/+7 of the SOF segment. Pure byte inspection, no libraries. */
+    * +5/+7 of the SOF segment. Standalone markers (TEM 0x01, RST D0–D7)
+    * carry no length word and are skipped as such; the walk STOPS at SOS
+    * (DA — entropy-coded data follows, where a stray FF Cx byte pair is
+    * not a marker) and at EOI (D9). Pure byte inspection, no libraries. */
   def jpegDims(b: Array[Byte]): Option[(Int, Int)] = {
     var i = 2
     while (i + 3 < b.length && (b(i) & 0xFF) == 0xFF) {
       val marker = b(i + 1) & 0xFF
       if (marker == 0xFF) { i += 1 } // fill byte
-      else if (marker >= 0xC0 && marker <= 0xCF &&
+      else if (marker == 0xDA || marker == 0xD9) return None // SOS / EOI
+      else if (marker == 0x01 || (marker >= 0xD0 && marker <= 0xD7)) {
+        i += 2 // standalone marker: no length-prefixed segment
+      } else if (marker >= 0xC0 && marker <= 0xCF &&
         marker != 0xC4 && marker != 0xC8 && marker != 0xCC) {
         return if (i + 8 < b.length) Some((be16(b, i + 7), be16(b, i + 5)))
         else None // (width, height)
@@ -62,13 +68,86 @@ object Multimodal {
     None
   }
 
+  private def le24(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xFF) | ((b(off + 1) & 0xFF) << 8) | ((b(off + 2) & 0xFF) << 16)
+
+  private def be64(b: Array[Byte], off: Int): Long =
+    ((be32(b, off).toLong & 0xFFFFFFFFL) << 32) |
+      (be32(b, off + 4).toLong & 0xFFFFFFFFL)
+
+  /** Real WebP dimension parse — walks the RIFF chunks and decodes the
+    * first VP8 (lossy key-frame tag), VP8L (lossless 14-bit packed) or
+    * VP8X (extended: 24-bit canvas-1) header it finds. Pure bytes. */
+  def webpDims(b: Array[Byte]): Option[(Int, Int)] = {
+    if (b.length < 20 || new String(b, 8, 4, "ISO-8859-1") != "WEBP") return None
+    var i = 12
+    while (i + 8 <= b.length) {
+      val fourCC = new String(b, i, 4, "ISO-8859-1")
+      val size = (b(i + 4) & 0xFF) | ((b(i + 5) & 0xFF) << 8) |
+        ((b(i + 6) & 0xFF) << 16) | ((b(i + 7) & 0xFF) << 24)
+      val p = i + 8
+      fourCC match {
+        case "VP8 " if p + 10 <= b.length &&
+          (b(p + 3) & 0xFF) == 0x9D && (b(p + 4) & 0xFF) == 0x01 &&
+          (b(p + 5) & 0xFF) == 0x2A =>
+          return Some((le16(b, p + 6) & 0x3FFF, le16(b, p + 8) & 0x3FFF))
+        case "VP8L" if p + 5 <= b.length && (b(p) & 0xFF) == 0x2F =>
+          val w = 1 + (((b(p + 2) & 0x3F) << 8) | (b(p + 1) & 0xFF))
+          val h = 1 + (((b(p + 4) & 0x0F) << 10) | ((b(p + 3) & 0xFF) << 2) |
+            ((b(p + 2) & 0xC0) >> 6))
+          return Some((w, h))
+        case "VP8X" if p + 10 <= b.length =>
+          return Some((1 + le24(b, p + 4), 1 + le24(b, p + 7)))
+        case _ => ()
+      }
+      i = p + size + (size & 1) // chunks are even-padded
+      if (size < 0) return None
+    }
+    None
+  }
+
+  /** Real MP4 track dimensions — descends the ISO-BMFF box tree
+    * moov → trak → tkhd and reads the 16.16-fixed width/height (version
+    * 0 and 1 layouts); the first trak with nonzero dims wins (audio
+    * tracks carry 0×0). Pure bytes. */
+  def mp4Dims(b: Array[Byte]): Option[(Int, Int)] = {
+    // children of [start, end) as (type, payloadStart, boxEnd)
+    def children(start: Int, end: Int): Seq[(String, Int, Int)] = {
+      val out = Seq.newBuilder[(String, Int, Int)]
+      var i = start
+      var ok = true
+      while (ok && i + 8 <= end) {
+        val sz32 = be32(b, i).toLong & 0xFFFFFFFFL
+        val typ = new String(b, i + 4, 4, "ISO-8859-1")
+        val (hdr, size) =
+          if (sz32 == 1 && i + 16 <= end) (16L, be64(b, i + 8))
+          else if (sz32 == 0) (8L, (end - i).toLong)
+          else (8L, sz32)
+        if (size < hdr || i + size > end) ok = false
+        else { out += ((typ, i + hdr.toInt, i + size.toInt)); i += size.toInt }
+      }
+      out.result()
+    }
+    val dims = for {
+      (t, ms, me) <- children(0, b.length) if t == "moov"
+      (t2, ts, te) <- children(ms, me) if t2 == "trak"
+      (t3, ks, ke) <- children(ts, te) if t3 == "tkhd"
+      off = ks + (if ((b(ks) & 0xFF) == 1) 88 else 76) if off + 8 <= ke
+      w = be32(b, off) >>> 16
+      h = be32(b, off + 4) >>> 16
+      if w > 0 && h > 0
+    } yield (w, h)
+    dims.headOption
+  }
+
   /** A "decoder" handle that is expensive to construct — initialized
     * once per partition, not per row (mapPartitions closure). */
   final class StubCodec {
-    /** PNG IHDR, GIF logical-screen, and JPEG SOF width/height are REAL
-      * byte-level parses; everything else (riff/mp4 media, pixel decode)
-      * is a ??? -grade STUB: deterministic fake dims from the payload
-      * hash. */
+    /** PNG IHDR, GIF logical-screen, JPEG SOF, WebP VP8/VP8L/VP8X, and
+      * MP4 tkhd width/height are REAL byte-level parses; what remains
+      * faked is pixel/audio decode (no codec libraries in this
+      * container): deterministic fake dims from the payload hash for
+      * unknown formats and truncated headers. */
     def decodeDims(payload: Array[Byte]): (Int, Int) =
       sniffFormat(payload) match {
         case "png" if payload.length >= 24 =>
@@ -77,6 +156,10 @@ object Multimodal {
           (le16(payload, 6), le16(payload, 8))
         case "jpeg" =>
           jpegDims(payload).getOrElse(fakeDims(payload))
+        case "riff" =>
+          webpDims(payload).getOrElse(fakeDims(payload))
+        case "mp4" =>
+          mp4Dims(payload).getOrElse(fakeDims(payload))
         case _ => fakeDims(payload)
       }
 

@@ -253,4 +253,70 @@ class OpsSpec extends SparkSpec {
       .map(m => m.media_id -> m.feature.toSeq).toMap
     again(2L) shouldBe r(2L).feature.toSeq
   }
+
+  test("jpeg walk: standalone markers skipped, stops at SOS/EOI") {
+    val sof = Array[Int](0xFF, 0xC0, 0x00, 0x0B, 0x08,
+      0x00, 0xC8, 0x01, 0x40, 0x01) // h=200, w=320
+    // TEM (FF 01) and RST4 (FF D4) carry no length word — a naive
+    // length-prefixed read would stride into garbage
+    val standalone = Array[Int](0xFF, 0xD8, 0xFF, 0x01, 0xFF, 0xD4)
+      .map(_.toByte) ++ sof.map(_.toByte)
+    Multimodal.jpegDims(standalone) shouldBe Some((320, 200))
+    // after SOS the stream is entropy-coded: a stray FF C0 there is NOT
+    // an SOF — the walk must stop and report no dims
+    val sos = Array[Int](0xFF, 0xD8,
+      0xFF, 0xDA, 0x00, 0x02, // SOS
+      0xFF, 0xC0, 0x00, 0x0B, 0x08, 0x00, 0x10, 0x00, 0x10, 0x01)
+      .map(_.toByte)
+    Multimodal.jpegDims(sos) shouldBe None
+  }
+
+  test("webp dims: VP8 lossy, VP8L lossless, VP8X extended — real parses") {
+    def riff(chunk: String, payload: Array[Byte]): Array[Byte] =
+      "RIFF".getBytes("US-ASCII") ++
+        Array[Byte]((payload.length + 12).toByte, 0, 0, 0) ++
+        "WEBP".getBytes("US-ASCII") ++ chunk.getBytes("US-ASCII") ++
+        Array[Byte](payload.length.toByte, 0, 0, 0) ++ payload
+    val vp8 = riff("VP8 ", Array[Int](0, 0, 0, 0x9D, 0x01, 0x2A,
+      0x40, 0x01, /* w=320 */ 0xC8, 0x00 /* h=200 */).map(_.toByte))
+    Multimodal.webpDims(vp8) shouldBe Some((320, 200))
+    // VP8L: signature 0x2F then 14-bit w-1=319, 14-bit h-1=199 packed LE
+    val vp8l = riff("VP8L", Array[Int](0x2F, 0x3F, 0xC1, 0x31, 0x00)
+      .map(_.toByte))
+    Multimodal.webpDims(vp8l) shouldBe Some((320, 200))
+    // VP8X: 4 bytes flags/reserved then 24-bit canvas w-1 / h-1 LE
+    val vp8x = riff("VP8X", Array[Int](0, 0, 0, 0,
+      0x3F, 0x01, 0x00, /* 319 */ 0xC7, 0x00, 0x00 /* 199 */).map(_.toByte))
+    Multimodal.webpDims(vp8x) shouldBe Some((320, 200))
+    Multimodal.webpDims("RIFF????WAVE".getBytes("US-ASCII")) shouldBe None
+    // the codec path routes riff payloads through the real parse
+    val meta = Multimodal.decodeAndFeaturize(spark.createDataset(Seq(
+      Multimodal.MediaRow(7L, "image", vp8)))).head()
+    (meta.width, meta.height) shouldBe ((320, 200))
+  }
+
+  test("mp4 dims: moov/trak/tkhd descent reads 16.16-fixed track size") {
+    def be32(v: Long): Array[Byte] = Array(
+      (v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+    val tkhdPayload = Array.fill[Byte](4 + 20 + 16 + 36)(0) ++
+      be32(320L << 16) ++ be32(200L << 16) // width, height 16.16
+    val tkhd = be32(8L + tkhdPayload.length) ++
+      "tkhd".getBytes("US-ASCII") ++ tkhdPayload
+    val trak = be32(8L + tkhd.length) ++ "trak".getBytes("US-ASCII") ++ tkhd
+    val moov = be32(8L + trak.length) ++ "moov".getBytes("US-ASCII") ++ trak
+    val ftyp = be32(16L) ++ "ftypisom".getBytes("US-ASCII") ++ be32(0L)
+    val mp4 = ftyp ++ moov
+    Multimodal.sniffFormat(mp4) shouldBe "mp4"
+    Multimodal.mp4Dims(mp4) shouldBe Some((320, 200))
+    // an audio-only trak (0x0 dims) is skipped, not reported
+    val audioTkhd = be32(8L + tkhdPayload.length) ++
+      "tkhd".getBytes("US-ASCII") ++
+      Array.fill[Byte](4 + 20 + 16 + 36)(0) ++ be32(0L) ++ be32(0L)
+    val audioTrak = be32(8L + audioTkhd.length) ++
+      "trak".getBytes("US-ASCII") ++ audioTkhd
+    val moov2 = be32(8L + audioTrak.length + trak.length) ++
+      "moov".getBytes("US-ASCII") ++ audioTrak ++ trak
+    Multimodal.mp4Dims(ftyp ++ moov2) shouldBe Some((320, 200))
+    Multimodal.mp4Dims(ftyp) shouldBe None
+  }
 }
