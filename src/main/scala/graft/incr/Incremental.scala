@@ -140,25 +140,56 @@ object Incremental {
       nBuckets: Int): Seq[Long] = {
     import spark.implicits._
 
-    val newH = urlHashes(newPages, "new_h").cache()
-    val d = diffHashes(oldH, newH).cache()
-    val dirty = dirtyBuckets(d, nBuckets)
-    if (dirty.isEmpty) { d.unpersist(); newH.unpersist(); return dirty }
+    // localCheckpoint (eager), NOT cache: these frames' lineage reads the
+    // urlhash parquet (stored path) and other stage dirs this update
+    // overwrites — a cache-block loss at cluster scale would recompute
+    // from the rewritten files (FileNotFound or a silently wrong diff).
+    // Checkpointing materializes NOW and severs the lineage; block loss
+    // then fails the job loudly instead.
+    val newH = urlHashes(newPages, "new_h").localCheckpoint()
+    val d = diffHashes(oldH, newH).localCheckpoint()
+    val dirtyActual = dirtyBuckets(d, nBuckets)
+
+    // crash detection: a prior update invalidates every manifest up
+    // front and re-stamps them only on completion, so any missing
+    // manifest means a previous run died mid-update and the derived
+    // tables may be part-old/part-new. The change short-circuits below
+    // compare against that mixed pre-state, so they are all DISABLED
+    // (force = rebuild every derived table over full scope; extraction
+    // itself is still diff-scoped — the urlhash stage is rewritten LAST,
+    // so the diff base survives any crash point before it).
+    val stageVersions = Seq(
+      "urlhash" -> "diff-v1", "extracted" -> HtmlText.VERSION,
+      "candidates" -> "mention-v1", "aliasdf" -> "link-v1",
+      "linked" -> "link-v1", "canon" -> "canon-v1",
+      "triples" -> Pipeline.EmitVersion, "nodes" -> Pipeline.EmitVersion,
+      "adjacency" -> Pipeline.EmitVersion,
+      "enriched" -> Pipeline.EnrichVersion)
+    val force = stageVersions
+      .exists { case (s, _) => Snapshot.readManifest(s"$outDir/$s").isEmpty }
+    if (dirtyActual.isEmpty) {
+      if (force) throw new IllegalStateException(
+        s"$outDir has missing stage manifests (a previous update crashed) " +
+          "but the snapshot diff is empty — the derived tables cannot be " +
+          "reconciled from this input. Re-run the update that crashed " +
+          "(same new snapshot), or run a full Pipeline.build.")
+      return dirtyActual
+    }
+    val allBuckets: Seq[Long] = (0L until nBuckets.toLong).toSeq
+    val dirty = dirtyActual
 
     // urls whose EXISTENCE changed (drives links_to/contains scoping) and
     // urls touched in any way (drives the enriched neighbor scope)
     val changedUrls = d.filter(col("status").isin("added", "deleted"))
-      .select(col("url")).cache()
-    val existenceChanged = !changedUrls.isEmpty
+      .select(col("url")).localCheckpoint()
+    val existenceChanged = force || !changedUrls.isEmpty
     val touchedUrls = d.filter(col("status") =!= "unchanged")
-      .select(col("url")).cache()
+      .select(col("url")).localCheckpoint()
 
     // mark every stage in-progress BEFORE any data dir is touched: a kill
     // mid-update must not leave old manifests pointing at mixed data
     // (they are re-stamped with the new snapshot id at the end)
-    Seq("urlhash", "extracted", "candidates", "aliasdf", "linked", "canon",
-      "triples", "nodes", "adjacency", "enriched")
-      .foreach(s => Snapshot.invalidate(s"$outDir/$s"))
+    stageVersions.foreach { case (s, _) => Snapshot.invalidate(s"$outDir/$s") }
 
     val exDir = s"$outDir/extracted/data"
     val adfDir = s"$outDir/aliasdf/data"
@@ -195,14 +226,6 @@ object Incremental {
         .filter(col("bucket").isin(dirty: _*)))
     val preLinksArrCk = linksArrCk(dirty)
 
-    // ---- urlhash: maintain the stored per-url fingerprints so the NEXT
-    // update can diff without the old corpus (updateFromStored)
-    overwriteBuckets(spark,
-      newH.select(col("url"), col("new_h").as("h"))
-        .withColumn("bucket", Pipeline.bucketOf(col("url"), nBuckets))
-        .filter(col("bucket").isin(dirty: _*)),
-      s"$outDir/urlhash/data", dirty)
-
     // ---- extracted: rebuild the FULL dirty buckets from the new
     // snapshot; a bucket is the overwrite unit, and one left with zero
     // urls is deleted outright (stale-partition bug otherwise)
@@ -218,7 +241,7 @@ object Incremental {
     val candidatesDirty = Mention.detect(exDirtyDs, aliases).toDF()
       .withColumn("bucket", Pipeline.bucketOf(col("url"), nBuckets))
       .cache()
-    val candidatesChanged = candCk(candidatesDirty) != preCandCk
+    val candidatesChanged = force || candCk(candidatesDirty) != preCandCk
     if (candidatesChanged) {
       overwriteBuckets(spark, candidatesDirty, candDir, dirty)
       // aliasdf: same dirty buckets (df_b is bucket-local)
@@ -238,7 +261,8 @@ object Incremental {
     val changedAliases = (oldDfMap.keySet ++ newDfMap.keySet)
       .filter(a => oldDfMap.getOrElse(a, 0L) != newDfMap.getOrElse(a, 0L))
     val relink: Seq[Long] =
-      if (changedAliases.isEmpty) dirty
+      if (force) allBuckets // crash-rerun: stale linked rows possible anywhere
+      else if (changedAliases.isEmpty) dirty
       else {
         val chDf = changedAliases.toSeq.toDF("alias")
         val extra = readAliasDf(spark, adfDir)
@@ -275,7 +299,7 @@ object Incremental {
             .withColumn("bucket", Pipeline.bucketOf(col("url"), nBuckets))
             .localCheckpoint()
         overwriteBuckets(spark, newLinked, s"$outDir/linked/data", relink)
-        checksumOf(newLinked, linkedCols) != preLinkedCk
+        force || checksumOf(newLinked, linkedCols) != preLinkedCk
       }
 
     // ---- canon: recompute; a changed map moves mentions/relates rows in
@@ -283,7 +307,7 @@ object Incremental {
     val entities = aliases.map(a => java.lang.Long.valueOf(a.entity_id)).distinct()
     val canonNew = ConnectedComponents.canonMap(entities, sameas).toDF()
       .localCheckpoint()
-    val canonChanged =
+    val canonChanged = force ||
       checksumOf(canonNew, Seq("entity_id", "canon_id")) != oldCanonCk
     canonNew.write.mode(SaveMode.Overwrite).parquet(s"$outDir/canon/data")
 
@@ -298,7 +322,8 @@ object Incremental {
 
     // each derived table rebuilds only if its inputs changed
     val mentionsNeeded = canonChanged || linkedChanged
-    val linksChanged = existenceChanged || linksArrCk(dirty) != preLinksArrCk
+    val linksChanged =
+      force || existenceChanged || linksArrCk(dirty) != preLinksArrCk
 
     // ---- triples: pred=mentions (url-local given canon)
     val mentionScope: Seq[Long] =
@@ -312,7 +337,8 @@ object Incremental {
 
     // ---- triples: pred=links_to (validity depends on target existence)
     val linkScope: Seq[Long] =
-      if (!existenceChanged) dirty
+      if (force) allBuckets
+      else if (!existenceChanged) dirty
       else {
         val affected = ex
           .select(col("url"), explode(col("links")).as("obj"))
@@ -392,8 +418,10 @@ object Incremental {
     // summaries
     val linksToNew = readPred(spark, triplesDir, "links_to")
       .select(col("subj"), col("obj"))
-    val enrScope = (dirty ++ oldLinksNbrBuckets ++
-      nbrBucketsOf(linksToNew, touchedUrls, nBuckets)).distinct.sorted
+    val enrScope =
+      if (force) allBuckets
+      else (dirty ++ oldLinksNbrBuckets ++
+        nbrBucketsOf(linksToNew, touchedUrls, nBuckets)).distinct.sorted
     val scopeSums = graft.enrich.Enrich.pageSummaries(readExtracted(enrScope))
     val cleanSums = spark.read.parquet(enrichedDir)
       .filter(col("label") === Label.Page &&
@@ -417,19 +445,24 @@ object Incremental {
         .partitionBy("bucket").parquet(enrichedDir)
     }
 
+    // ---- urlhash: rewritten LAST of all data dirs. It is the diff base
+    // of the NEXT update (updateFromStored) — overwriting it earlier
+    // would let a crash destroy the old per-url fingerprints while
+    // derived tables are still part-old/part-new, making the crashed
+    // update unrecoverable (rerun would see an empty diff). With it
+    // last, any crash before this point leaves the diff base intact and
+    // a rerun redoes the same update (force-mode, see above).
+    overwriteBuckets(spark,
+      newH.select(col("url"), col("new_h").as("h"))
+        .withColumn("bucket", Pipeline.bucketOf(col("url"), nBuckets))
+        .filter(col("bucket").isin(dirty: _*)),
+      s"$outDir/urlhash/data", dirty)
+
     // stamp manifests with the new snapshot id (≙ PROJECT.commit_hash
     // stamp, clangd_graph_rag_builder.py:112-122)
-    Seq("urlhash" -> "diff-v1", "extracted" -> HtmlText.VERSION,
-      "candidates" -> "mention-v1", "aliasdf" -> "link-v1",
-      "linked" -> "link-v1", "canon" -> "canon-v1", "triples" -> "emit-v1",
-      "nodes" -> "emit-v1", "adjacency" -> "emit-v1",
-      "enriched" -> "enrich-v1").foreach {
+    stageVersions.foreach {
       case (stage, v) => Snapshot.stamp(spark, outDir, stage, newSnapshotId, v)
     }
-    newH.unpersist()
-    changedUrls.unpersist()
-    touchedUrls.unpersist()
-    d.unpersist()
     dirty
   }
 

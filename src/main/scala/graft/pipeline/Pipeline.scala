@@ -23,6 +23,18 @@ import org.apache.spark.storage.StorageLevel
   */
 object Pipeline {
 
+  /** Stage versions for emitted tables. v2: triples/adjacency moved from
+    * flat bucket= to (pred=, bucket=) layout (round 2) and the emit
+    * semantics gained the path-section hierarchy + the relates_to
+    * per-page cap — outputs committed under emit-v1 must NOT be resumed
+    * into (mixed partition trees / stale semantics), so the version
+    * string changed with them. */
+  val EmitVersion = "emit-v2"
+  /** v2: hierarchy roll-up is arbitrary-depth with a bounded child
+    * sample (capped first-K + exact count) instead of site-only with an
+    * unbounded collect_list. */
+  val EnrichVersion = "enrich-v2"
+
   final case class Graph(
       extracted: Dataset[ExtractedPage],
       linked: Dataset[LinkedMention],
@@ -162,7 +174,7 @@ object Pipeline {
     // (pred, bucket) leaves; queries touching one predicate get partition
     // pruning for free
     val triples = Snapshot.stage(spark, outDir, "triples", snapshotId,
-      "emit-v1", Seq("pred", "bucket")) {
+      EmitVersion, Seq("pred", "bucket")) {
       val ex = extracted.drop("bucket").as[ExtractedPage]
       val lk = linked.drop("bucket").as[LinkedMention]
       Emit.triples(ex, lk, canon.as[CanonRow]).toDF()
@@ -170,13 +182,13 @@ object Pipeline {
         .repartition(col("pred"), col("bucket"))
     }
 
-    Snapshot.stage(spark, outDir, "nodes", snapshotId, "emit-v1") {
+    Snapshot.stage(spark, outDir, "nodes", snapshotId, EmitVersion) {
       val ex = extracted.drop("bucket").as[ExtractedPage]
       val td = triples.select(col("subj"), col("pred"), col("obj")).as[TripleRow]
       Emit.dropOrphans(Emit.nodes(ex, td, Some(snapshotId)), td).toDF()
     }
 
-    Snapshot.stage(spark, outDir, "adjacency", snapshotId, "emit-v1",
+    Snapshot.stage(spark, outDir, "adjacency", snapshotId, EmitVersion,
       Seq("pred", "bucket")) {
       val td = triples.select(col("subj"), col("pred"), col("obj")).as[TripleRow]
       Emit.adjacency(td).toDF()
@@ -189,7 +201,7 @@ object Pipeline {
     // onto FUNCTION/FILE/FOLDER/PROJECT nodes. PAGE rows are bucketed by
     // url hash (incrementally maintainable); SITE/PROJECT roll-up rows
     // live in bucket -1.
-    Snapshot.stage(spark, outDir, "enriched", snapshotId, "enrich-v1",
+    Snapshot.stage(spark, outDir, "enriched", snapshotId, EnrichVersion,
       Seq("bucket")) {
       val ex = extracted.drop("bucket").as[ExtractedPage]
       val lt = triples

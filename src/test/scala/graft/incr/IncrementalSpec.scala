@@ -288,6 +288,89 @@ class IncrementalSpec extends SparkSpec {
     again shouldBe empty
   }
 
+  test("crashed update + empty diff: refuse instead of silently 'nothing to do'") {
+    val incDir = Files.createTempDirectory("graft-crash-empty").toString
+    Pipeline.build(spark, oldPages, Synth.aliases(spark, cfg),
+      Synth.sameAs(spark, cfg), cfg.nPages, incDir, "snap-old", N)
+    // simulate a prior update that died mid-way: its first act is
+    // invalidating every stage manifest
+    graft.meta.Snapshot.invalidate(s"$incDir/linked")
+    // a same-snapshot update now sees an empty diff — the derived state
+    // is unverifiable, so this must throw, not return "nothing to do"
+    val e = intercept[IllegalStateException] {
+      Incremental.updateFromStored(spark, oldPages,
+        Synth.aliases(spark, cfg), Synth.sameAs(spark, cfg), cfg.nPages,
+        incDir, "snap-new", N)
+    }
+    e.getMessage should include("crashed")
+  }
+
+  test("crashed update rerun: force-mode converges despite mixed derived state") {
+    val incDir = Files.createTempDirectory("graft-crash-rerun").toString
+    val fullDir = Files.createTempDirectory("graft-crash-full").toString
+    Pipeline.build(spark, oldPages, Synth.aliases(spark, cfg),
+      Synth.sameAs(spark, cfg), cfg.nPages, incDir, "snap-old", N)
+
+    // snapshot the OLD linked table, then complete an update to NEW
+    val savedLinked = Files.createTempDirectory("graft-crash-saved")
+    copyTree(java.nio.file.Paths.get(s"$incDir/linked/data"),
+      savedLinked.resolve("data"))
+    Incremental.update(spark, oldPages, newPages,
+      Synth.aliases(spark, cfg), Synth.sameAs(spark, cfg), cfg.nPages,
+      incDir, "snap-new", N)
+
+    // forge the crash state a kill mid-update leaves behind: every
+    // manifest missing, SOME derived table still holding old data
+    // (urlhash is written last, so the diff base for a rerun-from-the-
+    // old-corpus is irrelevant here — we rerun with explicit oldPages)
+    Seq("urlhash", "extracted", "candidates", "aliasdf", "linked", "canon",
+      "triples", "nodes", "adjacency", "enriched")
+      .foreach(s => graft.meta.Snapshot.invalidate(s"$incDir/$s"))
+    deleteTree(java.nio.file.Paths.get(s"$incDir/linked/data"))
+    copyTree(savedLinked.resolve("data"),
+      java.nio.file.Paths.get(s"$incDir/linked/data"))
+
+    // rerun of the same update: force-mode must disable every change
+    // short-circuit (the checksums would compare against MIXED state and
+    // wrongly skip) and rebuild all derived tables over full scope
+    Incremental.update(spark, oldPages, newPages,
+      Synth.aliases(spark, cfg), Synth.sameAs(spark, cfg), cfg.nPages,
+      incDir, "snap-new-rerun", N)
+
+    Pipeline.build(spark, newPages, Synth.aliases(spark, cfg),
+      Synth.sameAs(spark, cfg), cfg.nPages, fullDir, "snap-new", N)
+    def triplesOf(dir: String) = spark.read.parquet(s"$dir/triples/data")
+      .select("subj", "pred", "obj").collect().map(_.toSeq).toSet
+    def linkedOf(dir: String) = spark.read.parquet(s"$dir/linked/data")
+      .select("url", "tok_start", "entity_id").collect().map(_.toSeq).toSet
+    triplesOf(incDir) shouldBe triplesOf(fullDir)
+    linkedOf(incDir) shouldBe linkedOf(fullDir)
+    // manifests are whole again
+    graft.meta.Snapshot.readManifest(s"$incDir/linked")
+      .get.snapshotId shouldBe "snap-new-rerun"
+  }
+
+  private def copyTree(src: java.nio.file.Path, dst: java.nio.file.Path): Unit = {
+    val s = Files.walk(src)
+    try {
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala.foreach { p =>
+        val t = dst.resolve(src.relativize(p))
+        if (Files.isDirectory(p)) Files.createDirectories(t)
+        else Files.copy(p, t,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+    } finally s.close()
+  }
+
+  private def deleteTree(p: java.nio.file.Path): Unit = if (Files.exists(p)) {
+    val s = Files.walk(p)
+    try {
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala.toSeq.reverse.foreach(Files.delete)
+    } finally s.close()
+  }
+
   test("Det.xxh64Bytes equals SQL xxhash64 on binary columns") {
     val samples = Seq("", "a", "hello world", "<p>x</p>é中")
       .map(_.getBytes("UTF-8"))
