@@ -47,6 +47,36 @@ object Emit {
     canonicalMentions(linked, canon)
       .select(col("url"), col("canon_id")).distinct()
 
+  /** FROZEN relates_to policy: co-mention pairs on a page are generated
+    * among at most this many distinct entities — the RelatesCap SMALLEST
+    * canon ids on the page (deterministic under any parallelism). A
+    * real-web head page (glossary, link farm) can mention thousands of
+    * distinct entities; unbounded pairing is E(E−1)/2 rows out of ONE
+    * input row in one task (10⁶+ at E=1500) — the cap bounds the fan-out
+    * at C(64,2)=2016 pairs per page. The reference never faces this (one
+    * TU, bounded symbol count), so the cap is this engine's own policy;
+    * NaiveKg and the DuckDB q29 oracle encode the identical rule. */
+  val RelatesCap = 64
+
+  /** Distinct (subj, obj) relates_to pairs from the (url, canon_id)
+    * page-entity table: per url, sorted-distinct canon ids capped at
+    * RelatesCap, pairs generated from the capped ARRAY (never a
+    * quadratic self-join — the per-row output is bounded by
+    * construction). The collect_set buffer is bounded by the page's own
+    * distinct-entity count, which is bounded by its token count. */
+  def relatesPairs(perPage: DataFrame): DataFrame = {
+    val capped = perPage.groupBy(col("url"))
+      .agg(slice(array_sort(collect_set(col("canon_id"))), 1, RelatesCap)
+        .as("es"))
+    capped
+      .select(explode(flatten(transform(col("es"), (a, i) =>
+        transform(slice(col("es"), i + 2, size(col("es"))),
+          b => struct(a.as("x"), b.as("y")))))).as("p"))
+      .select(concat(lit("ent:"), col("p.x")).as("subj"),
+        concat(lit("ent:"), col("p.y")).as("obj"))
+      .distinct()
+  }
+
   def triples(
       extracted: Dataset[ExtractedPage],
       linked: Dataset[LinkedMention],
@@ -56,14 +86,10 @@ object Emit {
     import spark.implicits._
     val ex = extracted.toDF()
 
-    val contains = ex.select($"site".as("subj"), $"url".as("obj"))
-      .distinct()
+    // full path hierarchy: root → host → …sections… → page (the FOLDER
+    // chain, clangd_symbol_nodes_builder.py:416-424,502-522)
+    val contains = Hierarchy.containsEdges(ex.select($"url"))
       .select($"subj", lit(Pred.Contains).as("pred"), $"obj")
-
-    // root → site: one PROJECT anchor over the whole hierarchy
-    val rootContains = ex.select($"site").distinct()
-      .select(lit(RootId).as("subj"), lit(Pred.Contains).as("pred"),
-        $"site".as("obj"))
 
     val perPage = pageEntitiesPre.getOrElse(pageEntities(linked, canon))
 
@@ -81,15 +107,10 @@ object Emit {
     // co-mention on a page → relates_to between canonical entities
     // (≙ CALLS: MERGE collapses multi-site pairs to one edge; self-pairs
     // excluded — a page mentioning one entity twice is not a relation).
-    val relates = perPage.as("a")
-      .join(perPage.as("b"), Seq("url"))
-      .filter($"a.canon_id" < $"b.canon_id")
-      .select(concat(lit("ent:"), $"a.canon_id").as("subj"),
-        lit(Pred.RelatesTo).as("pred"),
-        concat(lit("ent:"), $"b.canon_id").as("obj"))
-      .distinct()
+    val relates = relatesPairs(perPage)
+      .select($"subj", lit(Pred.RelatesTo).as("pred"), $"obj")
 
-    rootContains.union(contains).union(mentions).union(linksTo)
+    contains.union(mentions).union(linksTo)
       .union(relates).as[TripleRow]
   }
 
@@ -110,9 +131,12 @@ object Emit {
       lit(RootId).as("node_id"), lit(Label.Project).as("label"),
       typedLit(rootProps).as("props"))
 
-    val sites = ex.select($"site").distinct()
-      .select($"site".as("node_id"), lit(Label.Site).as("label"),
-        map(lit("name"), $"site").as("props"))
+    // hosts are SITE, deeper path prefixes SECTION (≙ FOLDER nodes)
+    val internals = Hierarchy.internalNodes(ex.select($"url"))
+      .filter($"depth" >= 1)
+      .select($"node".as("node_id"),
+        when($"depth" === 1, Label.Site).otherwise(Label.Section).as("label"),
+        map(lit("name"), $"node").as("props"))
 
     val pages = ex.select($"url".as("node_id"), lit(Label.Page).as("label"),
       map(lit("lang"), $"lang", lit("text_sha256"), $"text_sha256").as("props"))
@@ -125,7 +149,7 @@ object Emit {
         map(lit("canon"), $"node_id").as("props"))
 
     // dropOrphans removes the root again if there are no sites at all
-    root.union(sites).union(pages).union(ents).as[NodeRow]
+    root.union(internals).union(pages).union(ents).as[NodeRow]
   }
 
   /** Degree-0 node cleanup, run last (reference pass 8,

@@ -1,0 +1,71 @@
+package graft.emit
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Arbitrary-depth url-path hierarchy — the FOLDER analog. The reference
+  * materializes a FOLDER node for EVERY ancestor path segment of every
+  * file and chains CONTAINS through them
+  * (clangd_symbol_nodes_builder.py:416-424 ancestor derivation, :502-522
+  * folder CONTAINS); this is the same derivation over url path prefixes:
+  *
+  *   https://host/a/b/42  →  prefixes [host, host/a, host/a/b]
+  *   root ─contains─► host ─contains─► host/a ─contains─► host/a/b
+  *   ─contains─► https://host/a/b/42
+  *
+  * depth(host) = 1, deeper prefixes +1 per segment; the PROJECT root is
+  * depth 0. host (depth 1) carries the SITE label, deeper prefixes
+  * SECTION (≙ FOLDER). Everything here is pure column expressions —
+  * codegen-friendly, an A3-style explode feeding the A11 depth loop.
+  */
+object Hierarchy {
+
+  private val SchemeRe = "^[a-zA-Z][a-zA-Z0-9+.-]*://"
+
+  /** url with its scheme stripped (the path key space). */
+  def pathOf(url: Column): Column = regexp_replace(url, SchemeRe, "")
+
+  /** Ancestor prefixes of a url, shallowest first: [host, host/s1, ...,
+    * deepest-dir]. The final path segment is the page's own leaf name and
+    * is NOT a prefix; a url with no path ("https://host") is its own
+    * single-prefix host. prefixes(url)[0] == Extract.site(url) by
+    * construction. */
+  def prefixesOf(url: Column): Column = {
+    val segs = split(pathOf(url), "/")
+    when(size(segs) <= 1, array(pathOf(url)))
+      .otherwise(transform(sequence(lit(1), size(segs) - 1),
+        k => array_join(slice(segs, lit(1), k), "/")))
+  }
+
+  /** The page's direct parent: its deepest ancestor prefix. */
+  def parentOf(url: Column): Column = element_at(prefixesOf(url), -1)
+
+  /** (node, parent, depth) rows for every internal node of the hierarchy
+    * over `urls` (a one-column "url" frame), INCLUDING the PROJECT root
+    * (depth 0, parent null). host rows (depth 1) hang off the root. */
+  def internalNodes(urls: DataFrame): DataFrame = {
+    val spark = urls.sparkSession
+    val pref = urls.select(prefixesOf(col("url")).as("ps"))
+    val internal = pref
+      .select(posexplode(col("ps")).as(Seq("pos", "node")), col("ps"))
+      .select(col("node"),
+        when(col("pos") === 0, lit(Emit.RootId))
+          .otherwise(element_at(col("ps"), col("pos"))).as("parent"),
+        (col("pos") + 1).as("depth"))
+      .distinct()
+    internal.union(spark.range(1).select(lit(Emit.RootId).as("node"),
+      lit(null).cast("string").as("parent"), lit(0).as("depth")))
+  }
+
+  /** Distinct (subj, obj) contains edges of the full chain: root → host,
+    * consecutive prefixes, deepest prefix → page. */
+  def containsEdges(urls: DataFrame): DataFrame = {
+    val chain = internalNodes(urls)
+      .filter(col("parent").isNotNull)
+      .select(col("parent").as("subj"), col("node").as("obj"))
+    val pageEdges = urls
+      .select(parentOf(col("url")).as("subj"), col("url").as("obj"))
+      .distinct()
+    chain.union(pageEdges)
+  }
+}

@@ -1,9 +1,9 @@
 package graft.enrich
 
-import graft.emit.Emit
+import graft.emit.Hierarchy
 import graft.model.{ExtractedPage, Label}
 import graft.util.Det
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 /** Deterministic enrichment stage — the generalized shape of the
@@ -68,17 +68,40 @@ object Enrich {
     *        summary table here while `pageSums` holds only the dirty
     *        scope — context is correct even when a neighbor lives in a
     *        clean bucket. */
+  /** Aggregation-buffer bound for the context collect and the roll-up
+    * child sample: a real-web head node (10⁷-page site, 10⁵-in-degree
+    * hub) must not materialize all children in ONE buffer. The capped
+    * set is the lexicographically SMALLEST `cap` values — deterministic,
+    * and computable with bounded buffers by a two-phase (salted partial →
+    * merge) aggregation: the global smallest-cap set is a subset of the
+    * union of each salt's smallest-cap set. */
+  val ContextCap = 128
+  private val Salts = 16
+
+  /** Smallest-`cap` sorted distinct `valueCol` per `key`, two-phase so no
+    * aggregation buffer ever holds more than `cap` (partial) or
+    * Salts×`cap` (merge) elements. `saltCol` spreads the partial phase. */
+  private def cappedSortedSet(
+      df: DataFrame, key: String, valueCol: String, saltCol: Column,
+      cap: Int, outName: String): DataFrame =
+    df.groupBy(col(key), pmod(xxhash64(saltCol), lit(Salts.toLong)).as("_s"))
+      .agg(slice(array_sort(collect_set(col(valueCol))), 1, cap).as("_p"))
+      .groupBy(col(key))
+      .agg(slice(array_sort(array_distinct(flatten(collect_list(col("_p"))))),
+        1, cap).as(outName))
+
   def contextSummaries(
       linksTo: DataFrame,
       pageSums: DataFrame,
-      neighborSums: Option[DataFrame] = None): DataFrame = {
+      neighborSums: Option[DataFrame] = None,
+      cap: Int = ContextCap): DataFrame = {
     val lookup = neighborSums.getOrElse(pageSums)
     val out = linksTo.select(col("subj").as("url"), col("obj").as("nbr"))
     val in = linksTo.select(col("obj").as("url"), col("subj").as("nbr"))
-    val nbrs = out.union(in)
+    val joined = out.union(in)
       .join(lookup.select(col("url").as("nbr"), col("summary")), Seq("nbr"))
-      .groupBy("url")
-      .agg(array_sort(collect_set(col("summary"))).as("neighborSummaries"))
+    val nbrs = cappedSortedSet(joined, "url", "summary", col("nbr"),
+      cap, "neighborSummaries")
     pageSums.select(col("url"), col("summary"))
       .join(nbrs, Seq("url"), "left")
       .select(col("url"), col("summary"),
@@ -86,20 +109,35 @@ object Enrich {
           array().cast("array<string>")).as("neighborSummaries"))
   }
 
+  /** FROZEN roll-up policy: an internal node's summary is a function of
+    * a deterministic SAMPLE of its children — the RollupCap
+    * lexicographically-smallest child summaries — plus the EXACT child
+    * count (the " [N children]" suffix). The reference feeds the
+    * summarizer every child (code_graph_rag_generator.py:408-423); at
+    * 10⁷-page head sites that is a multi-GB list in one aggregation
+    * buffer, so the sample is this engine's scale policy. With the fake
+    * summarizer the output is identical either way (it is a constant
+    * plus the exact count). */
+  val RollupCap = 64
+
   /** Bottom-up hierarchical roll-up (A11+A12 analog): nodes are url-path
     * prefixes (site / site/p / ... / page); each level's summary is a
-    * deterministic function of its children's sorted summaries,
-    * processed deepest-first in a driver loop over depth — the Spark
-    * shape of the reference's group-by-depth folder pass
-    * (code_graph_rag_generator.py:392-423). Returns (node, depth,
-    * summary). */
+    * deterministic function of a capped sorted sample of its children's
+    * summaries + the exact child count, processed deepest-first in a
+    * driver loop over depth — the Spark shape of the reference's
+    * group-by-depth folder pass (code_graph_rag_generator.py:392-423).
+    * Each level aggregates in TWO phases (salted partial → merge) so no
+    * buffer holds more than RollupCap (partial) / Salts×RollupCap
+    * (merge) summaries regardless of a node's child count. Returns
+    * (node, depth, summary). */
   def hierarchyRollup(
       leaves: DataFrame, // (node, parent, summary); parent = an internal node
       internal: DataFrame, // (node, parent, depth) internal nodes; root parent = null
-      summarizer: Summarizer = FakeSummarizer): DataFrame = {
+      summarizer: Summarizer = FakeSummarizer,
+      cap: Int = RollupCap): DataFrame = {
     val s = summarizer
-    val sumUdf = udf((children: Seq[String]) =>
-      s.summarize(children.mkString("|")) + s" [${children.size} children]")
+    val sumUdf = udf((sample: Seq[String], total: Long) =>
+      s.summarize(sample.mkString("|")) + s" [$total children]")
     // coalesce: no internal nodes → maxDepth -1 → empty loop, empty
     // result with the right schema (not an NPE on a null max)
     val maxDepth = internal
@@ -109,11 +147,17 @@ object Enrich {
     (maxDepth to 0 by -1).foreach { d =>
       val level = internal.filter(col("depth") === d)
         .select(col("node").as("lnode"), col("parent").as("lparent"))
-      val rolled = acc.join(level, acc("parent") === level("lnode"))
-        .groupBy(col("lnode"), col("lparent"))
-        .agg(sumUdf(array_sort(collect_list(col("summary")))).as("summary"))
+      val partial = acc.join(level, acc("parent") === level("lnode"))
+        .groupBy(col("lnode"), col("lparent"),
+          pmod(xxhash64(acc("node")), lit(Salts.toLong)).as("_s"))
+        .agg(slice(array_sort(collect_list(col("summary"))), 1, cap).as("_p"),
+          count(lit(1)).as("_n"))
+      val rolled = partial.groupBy(col("lnode"), col("lparent"))
+        .agg(slice(array_sort(flatten(collect_list(col("_p")))), 1, cap)
+          .as("sample"),
+          sum(col("_n")).as("total"))
         .select(col("lnode").as("node"), col("lparent").as("parent"),
-          col("summary"))
+          sumUdf(col("sample"), col("total")).as("summary"))
       out = out :+ rolled.withColumn("depth", lit(d))
       acc = acc.union(rolled).localCheckpoint()
     }
@@ -143,10 +187,15 @@ object Enrich {
       embedder: Embedder = new FakeEmbedder()): DataFrame = {
     val pageSums = pageSummaries(extracted, summarizer, embedder)
     val pages = pageNodeRows(pageSums, linksTo)
-    val leaves = pageSums.select(col("url").as("node"),
-      col("site").as("parent"), col("summary"))
-    pages.union(internalNodeRows(leaves, summarizer, embedder))
+    pages.union(
+      internalNodeRows(pageLeaves(pageSums), summarizer, embedder))
   }
+
+  /** (node, parent, summary) leaf rows for the roll-up: each page under
+    * its deepest url-path prefix (arbitrary depth — the FOLDER chain). */
+  def pageLeaves(pageSums: DataFrame): DataFrame =
+    pageSums.select(col("url").as("node"),
+      Hierarchy.parentOf(col("url")).as("parent"), col("summary"))
 
   /** PAGE rows of the enriched table: pageSums + neighbor context.
     * `neighborSums` as in contextSummaries. */
@@ -163,49 +212,43 @@ object Enrich {
         col("summary"), col("summaryEmbedding"), col("neighborSummaries"))
   }
 
-  /** SITE + PROJECT rows: bottom-up roll-up of page summaries over the
-    * emitted hierarchy (page → site → root), each level embedded.
-    * Needs only (node, parent, summary) leaves — the incremental updater
-    * feeds it the already-materialized page summaries, so internal nodes
-    * refresh without re-summarizing any page text. */
+  /** SITE + SECTION + PROJECT rows: bottom-up roll-up of page summaries
+    * over the FULL url-path hierarchy (page → …sections… → site → root),
+    * each level embedded — ≙ the reference's arbitrary-depth folder
+    * roll-up (code_graph_rag_generator.py:392-423). Needs only
+    * (node, parent, summary) leaves where node is the page URL — the
+    * incremental updater feeds it the already-materialized page
+    * summaries, so internal nodes refresh without re-summarizing any
+    * page text. */
   def internalNodeRows(
-      leaves: DataFrame, // (node, parent, summary)
+      leaves: DataFrame, // (node = page url, parent, summary)
       summarizer: Summarizer = FakeSummarizer,
       embedder: Embedder = new FakeEmbedder()): DataFrame = {
     val spark = leaves.sparkSession
     import spark.implicits._
-    val internal = leaves.select(col("parent").as("node")).distinct()
-      .select(col("node"), lit(Emit.RootId).as("parent"), lit(1).as("depth"))
-      .union(spark.range(1).select(lit(Emit.RootId).as("node"),
-        lit(null).cast("string").as("parent"), lit(0).as("depth")))
+    val internal =
+      Hierarchy.internalNodes(leaves.select(col("node").as("url")))
     val emb = embedder
     hierarchyRollup(leaves, internal, summarizer)
       .as[(String, Int, String)]
       .map { case (node, depth, summary) =>
-        (node, if (depth == 0) Label.Project else Label.Site,
-          summary, emb.embed(summary), Seq.empty[String])
+        val label =
+          if (depth == 0) Label.Project
+          else if (depth == 1) Label.Site
+          else Label.Section
+        (node, label, summary, emb.embed(summary), Seq.empty[String])
       }
       .toDF("node_id", "label", "summary", "summaryEmbedding",
         "neighborSummaries")
   }
 
-  /** Url-path hierarchy for the roll-up: leaf = page url under parent
-    * "host/p"; internal = "host/p" (depth 1) under "host" (depth 0).
-    * ≙ ancestor-folder derivation A3 feeding the A11 depth loop. */
+  /** Url-path hierarchy for the roll-up: leaf = page url under its
+    * deepest path prefix; internal = every ancestor prefix, host at
+    * depth 1, PROJECT root at depth 0 — ≙ ancestor-folder derivation A3
+    * feeding the A11 depth loop, arbitrary depth. */
   def urlHierarchy(pageSums: DataFrame): (DataFrame, DataFrame) = {
-    val stripped = pageSums
-      .withColumn("path", regexp_replace(col("url"), "^[a-z]+://", ""))
-    val leaves = stripped.select(col("url").as("node"),
-      regexp_extract(col("path"), "^([^/]+/[^/]+)", 1).as("parent"),
-      col("summary"))
-    val internal = stripped.select(
-        regexp_extract(col("path"), "^([^/]+/[^/]+)", 1).as("node"),
-        regexp_extract(col("path"), "^([^/]+)", 1).as("parent"),
-        lit(1).as("depth"))
-      .union(stripped.select(
-        regexp_extract(col("path"), "^([^/]+)", 1).as("node"),
-        lit(null).cast("string").as("parent"), lit(0).as("depth")))
-      .distinct()
+    val leaves = pageLeaves(pageSums)
+    val internal = Hierarchy.internalNodes(pageSums.select(col("url")))
     (leaves, internal)
   }
 }

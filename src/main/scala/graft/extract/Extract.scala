@@ -31,10 +31,13 @@ object Extract {
 
   private val siteRe = "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/]+)".r
 
-  /** Host part of a url — the CONTAINS hierarchy parent (≙ folder
-    * derivation, clangd_symbol_nodes_builder.py:416-424). */
+  /** Host part of a url — the hierarchy's depth-1 node (≙ root folder,
+    * clangd_symbol_nodes_builder.py:416-424). The schemeless fallback
+    * takes everything before the first '/' so site(url) always equals
+    * Hierarchy.prefixesOf(url)(0). */
   def site(url: String): String =
-    siteRe.findFirstMatchIn(url).map(_.group(1)).getOrElse(url)
+    siteRe.findFirstMatchIn(url).map(_.group(1))
+      .getOrElse(url.takeWhile(_ != '/'))
 
   /** Pure per-row extraction — a typed Dataset.map over a deterministic
     * Scala function; never a SQL UDF, never `asNondeterministic`.

@@ -358,16 +358,12 @@ object Incremental {
       s"$triplesDir/pred=links_to", linkScope)
 
     // ---- triples: pred=contains — only if the url set changed (a
-    // changed-only update leaves the hierarchy untouched); column-pruned
-    // (site, url) scan, no text
+    // changed-only update leaves the hierarchy untouched); the full
+    // root→site→sections→page chain derives from a column-pruned url
+    // scan, no text
     if (existenceChanged) {
-      val su = ex.select(col("site"), col("url"))
-      val contains = su.distinct()
-        .select(col("site").as("subj"), col("url").as("obj"))
-      val rootC = su.select(col("site")).distinct()
-        .select(lit(Emit.RootId).as("subj"), col("site").as("obj"))
       replaceSubtree(
-        contains.union(rootC)
+        graft.emit.Hierarchy.containsEdges(ex.select(col("url")))
           .withColumn("bucket", Pipeline.bucketOf(col("subj"), nBuckets)),
         s"$triplesDir/pred=contains")
     }
@@ -376,13 +372,10 @@ object Incremental {
     // co-mention dedup) and a pure function of (linked, canon), so it is
     // skipped when neither changed; column-pruned, no text
     if (mentionsNeeded) {
-      val cmAll = cmOf(lk)
+      // capped sorted-array pair generation (Emit.RelatesCap policy) —
+      // never the quadratic per-url self-join
       replaceSubtree(
-        cmAll.as("a").join(cmAll.as("b"), Seq("url"))
-          .filter(col("a.canon_id") < col("b.canon_id"))
-          .select(concat(lit("ent:"), col("a.canon_id")).as("subj"),
-            concat(lit("ent:"), col("b.canon_id")).as("obj"))
-          .distinct()
+        Emit.relatesPairs(cmOf(lk))
           .withColumn("bucket", Pipeline.bucketOf(col("subj"), nBuckets)),
         s"$triplesDir/pred=relates_to")
     }
@@ -433,11 +426,13 @@ object Incremental {
         .withColumn("bucket", Pipeline.bucketOf(col("node_id"), nBuckets))
         .localCheckpoint(), // sever lineage: reads the table it rewrites
       enrichedDir, enrScope)
+    // the page's roll-up parent derives from its url alone — no join
+    // back to extracted needed
     val leaves = spark.read.parquet(enrichedDir)
       .filter(col("label") === Label.Page)
-      .select(col("node_id").as("url"), col("summary"))
-      .join(ex.select(col("url"), col("site")), Seq("url"))
-      .select(col("url").as("node"), col("site").as("parent"), col("summary"))
+      .select(col("node_id").as("node"),
+        graft.emit.Hierarchy.parentOf(col("node_id")).as("parent"),
+        col("summary"))
     val internalRows = graft.enrich.Enrich.internalNodeRows(leaves)
       .withColumn("bucket", lit(-1L)).localCheckpoint()
     withDynamicOverwrite(spark) {

@@ -80,7 +80,8 @@ object Pred {
 
 object Label {
   val Project = "PROJECT" // the single root node ≙ reference PROJECT
-  val Site = "SITE"
+  val Site = "SITE"       // url host (hierarchy depth 1)
+  val Section = "SECTION" // url path prefix below the host ≙ FOLDER
   val Page = "PAGE"
   val Entity = "ENTITY"
 }

@@ -93,8 +93,19 @@ object Synth {
 
   // ---------------------------------------------------------------- pages
 
-  def url(cfg: SynthConfig, i: Long): String =
-    s"https://site${i % cfg.nSites}.example/p/$i"
+  /** Variable-depth paths (depth 2–4 below the host) so the emitted
+    * FOLDER-analog hierarchy — SECTION nodes per path prefix with
+    * chained contains — is exercised at arbitrary depth, like the
+    * reference's nested source folders. Page text is url-independent,
+    * so the extraction golden hashes do not depend on this shape. */
+  def url(cfg: SynthConfig, i: Long): String = {
+    val extra = i % 3 match {
+      case 1 => s"/c${i % 4}"
+      case 2 => s"/c${i % 4}/d${i % 2}"
+      case _ => ""
+    }
+    s"https://site${i % cfg.nSites}.example/p$extra/$i"
+  }
 
   private val BaseEpochSec = 1577836800L // 2020-01-01T00:00:00Z
 

@@ -42,7 +42,7 @@ object IncrementalBench {
     if (!new java.io.File(s"$inputDir/_SUCCESS").exists())
       Synth.pages(spark, cfg).write.mode("overwrite").parquet(inputDir)
     def oldPages() = spark.read.parquet(inputDir).as[graft.model.PageRow]
-    val changed = (1 to nChanged).map(i => s"/p/${i * 7}")
+    val changed = (1 to nChanged).map(i => s"/${i * 7}")
     def newPages() = oldPages().map { p =>
       if (changed.exists(p.url.endsWith))
         p.copy(

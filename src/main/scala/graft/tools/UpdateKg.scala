@@ -36,7 +36,7 @@ object UpdateKg {
     val cfgNew = SynthConfig(nPages = nNew)
     val oldPages = Synth.pages(spark, cfgOld)
     val newPages = Synth.pages(spark, cfgNew).map { p =>
-      if (Seq(5L, 17L, 42L).exists(i => p.url.endsWith(s"/p/$i")))
+      if (Seq(5L, 17L, 42L).exists(i => p.url.endsWith(s"/$i")))
         p.copy(html = (new String(p.html, "UTF-8")
           .replace("</body>", "<p>updated acme globex</p></body>")).getBytes("UTF-8"))
       else p

@@ -78,11 +78,21 @@ object NaiveKg {
     }
     def canon(e: Long): Long = compMin.getOrElse(e, e)
 
-    // 6. triples (incl. the single PROJECT root above all sites)
-    val rootContains = extracted.map(_._2).distinct
-      .map(s => ("graft:root", Pred.Contains, s)).toSet
-    val contains = extracted.map(e => (e._2, Pred.Contains, e._1)).toSet ++
-      rootContains
+    // 6. triples — contains is the FULL path hierarchy (root → host →
+    // …sections… → page), the frozen FOLDER-analog spec
+    // (Hierarchy.scala scaladoc)
+    def prefixes(url: String): Seq[String] = {
+      val path = url.replaceFirst("^[a-zA-Z][a-zA-Z0-9+.-]*://", "")
+      val segs = path.split("/", -1).toSeq
+      if (segs.length <= 1) Seq(path)
+      else (1 until segs.length).map(k => segs.take(k).mkString("/"))
+    }
+    val contains = extracted.flatMap { case (url, _, _, _, _) =>
+      val ps = prefixes(url)
+      val chain = ("graft:root" +: ps).sliding(2)
+        .map(p => (p(0), Pred.Contains, p(1))).toSeq
+      chain :+ ((ps.last, Pred.Contains, url))
+    }.toSet
     val pageEnts: Map[String, Set[Long]] = linked.groupBy(_._1)
       .map { case (u, ms) => u -> ms.map(m => canon(m._4)).toSet }
     val mentions = pageEnts.flatMap { case (u, es) =>
@@ -91,17 +101,22 @@ object NaiveKg {
     val linksTo = extracted.flatMap { case (url, _, _, links, _) =>
       links.filter(urlSet.contains).map(d => (url, Pred.LinksTo, d))
     }.toSet
+    // frozen policy: pairs among the RelatesCap SMALLEST canon ids per
+    // page (Emit.scala scaladoc)
     val relates = pageEnts.values.flatMap { es =>
-      val sorted = es.toSeq.sorted
+      val sorted = es.toSeq.sorted.take(graft.emit.Emit.RelatesCap)
       for { i <- sorted.indices; j <- (i + 1) until sorted.size }
         yield (s"ent:${sorted(i)}", Pred.RelatesTo, s"ent:${sorted(j)}")
     }.toSet
 
     val triples = contains ++ mentions ++ linksTo ++ relates
     val endpoints = triples.flatMap(t => Set(t._1, t._3))
+    val sites = extracted.map(e => prefixes(e._1).head).toSet
+    val sections = extracted.flatMap(e => prefixes(e._1).drop(1)).toSet
     val nodes = (
       Set(("graft:root", Label.Project)) ++
-        extracted.map(e => (e._2, Label.Site)).toSet ++
+        sites.map(s => (s, Label.Site)) ++
+        sections.map(s => (s, Label.Section)) ++
         extracted.map(e => (e._1, Label.Page)).toSet ++
         endpoints.filter(_.startsWith("ent:")).map(e => (e, Label.Entity))
       ).filter(n => endpoints.contains(n._1))

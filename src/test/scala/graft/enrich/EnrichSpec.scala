@@ -39,32 +39,73 @@ class EnrichSpec extends SparkSpec {
     withNbr.head().getSeq[String](2).head shouldBe Enrich.FakeSummary
   }
 
-  test("bottom-up hierarchy roll-up: every site and the /p level get summaries") {
+  test("bottom-up roll-up covers the FULL path hierarchy at every depth") {
     val ps = Enrich.pageSummaries(extracted)
     val (leaves, internal) = Enrich.urlHierarchy(ps)
-    val rolled = Enrich.hierarchyRollup(leaves, internal)
+    val rolled = Enrich.hierarchyRollup(leaves, internal).cache()
+    // one summary per internal node — root, hosts, and EVERY deeper
+    // path-prefix section (the synth corpus has sections at depth 2-4)
+    rolled.count() shouldBe internal.count()
     val byDepth = rolled.groupBy("depth").count().collect()
       .map(r => r.getInt(0) -> r.getLong(1)).toMap
-    byDepth(0) shouldBe cfg.nSites.toLong // one root summary per site
-    byDepth(1) shouldBe cfg.nSites.toLong // one '/p' level per site
-    // child counts are embedded deterministically
-    rolled.filter(col("depth") === 1).head().getString(2) should include("children]")
+    byDepth(0) shouldBe 1L // the PROJECT root
+    byDepth(1) shouldBe cfg.nSites.toLong
+    byDepth(2) shouldBe cfg.nSites.toLong // one '/p' section per site
+    byDepth.keySet.max should be >= 3 // deeper sections really exist
+    // exact child counts are embedded deterministically: the root rolls
+    // up exactly the sites
+    rolled.filter(col("depth") === 0).head().getString(2) should
+      include(s" [${cfg.nSites} children]")
   }
 
-  test("nodeEnrichment: one enriched row per page/site + the PROJECT root") {
+  test("roll-up sample is bounded and deterministic: cap smallest + exact count") {
+    import spark.implicits._
+    // a head parent with far more children than the cap: the summarizer
+    // must see ONLY the RollupCap lexicographically-smallest summaries,
+    // while the suffix carries the exact total — and the result must be
+    // identical under different parallelism (two-phase salted agg)
+    val echo = new Enrich.Summarizer { def summarize(c: String): String = c }
+    val leaves = (1 to 200).map(i => (f"https://h.example/p/$i", "h.example/p", f"s$i%03d"))
+      .toDF("node", "parent", "summary")
+    val internal = Seq(("h.example/p", null.asInstanceOf[String], 0))
+      .toDF("node", "parent", "depth")
+    val expected = (1 to Enrich.RollupCap).map(i => f"s$i%03d").mkString("|") +
+      " [200 children]"
+    Enrich.hierarchyRollup(leaves, internal, echo)
+      .head().getString(2) shouldBe expected
+    Enrich.hierarchyRollup(leaves.repartition(17), internal, echo)
+      .head().getString(2) shouldBe expected
+  }
+
+  test("context collect is capped at the smallest ContextCap summaries") {
+    import spark.implicits._
+    // one hub url with 300 distinct-summary neighbors
+    val edges = (1 to 300).map(i => ("hub", s"n$i")).toDF("subj", "obj")
+    val sums = (("hub", "hubsum") +: (1 to 300).map(i => (s"n$i", f"x$i%03d")))
+      .toDF("url", "summary")
+    val r = Enrich.contextSummaries(edges, sums, cap = 10)
+      .filter(col("url") === "hub").head().getSeq[String](2)
+    r shouldBe (1 to 10).map(i => f"x$i%03d")
+  }
+
+  test("nodeEnrichment: one enriched row per page/site/section + the PROJECT root") {
     import spark.implicits._
     val ex = Extract.run(Synth.pages(spark, cfg))
     val nPages = ex.count()
     val nSites = ex.select("site").distinct().count()
+    val internal = graft.emit.Hierarchy
+      .internalNodes(ex.toDF().select(col("url"))).cache()
     val linksTo = ex.toDF().select(col("url").as("subj"),
       explode(col("links")).as("obj"))
       .join(ex.toDF().select(col("url").as("obj")), Seq("obj"), "left_semi")
     val enriched = Enrich.nodeEnrichment(ex, linksTo).cache()
-    enriched.count() shouldBe nPages + nSites + 1
+    enriched.count() shouldBe nPages + internal.count()
     // fake summarizer constant on pages; roll-up marker on internal nodes
     enriched.filter(col("label") === "PAGE")
       .filter(col("summary") =!= Enrich.FakeSummary).count() shouldBe 0L
     enriched.filter(col("label") === "SITE").count() shouldBe nSites
+    enriched.filter(col("label") === "SECTION").count() shouldBe
+      internal.filter(col("depth") >= 2).count()
     val root = enriched.filter(col("label") === "PROJECT").collect()
     root.length shouldBe 1
     root.head.getAs[String]("node_id") shouldBe graft.emit.Emit.RootId

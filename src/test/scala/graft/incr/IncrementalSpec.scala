@@ -26,9 +26,9 @@ class IncrementalSpec extends SparkSpec {
   private def newPages: Dataset[PageRow] = {
     val changedIds = Set(5L, 17L, 42L)
     val base = oldPages
-      .filter(!col("url").endsWith("/p/7")) // delete page 7
+      .filter(!col("url").endsWith("/7")) // delete page 7
       .map { p =>
-        if (changedIds.exists(i => p.url.endsWith(s"/p/$i")))
+        if (changedIds.exists(i => p.url.endsWith(s"/$i")))
           p.copy(
             warc_ts = new Timestamp(p.warc_ts.getTime + 7200000L),
             html = (new String(p.html, "UTF-8")
@@ -82,7 +82,7 @@ class IncrementalSpec extends SparkSpec {
 
     // deleted page really gone; changed page's new mention present
     val t = triplesOf(incDir)
-    t.exists(r => r.head.toString.endsWith("/p/7")) shouldBe false
+    t.exists(r => r.head.toString.endsWith("/7")) shouldBe false
 
     // manifests stamped with the new snapshot id
     graft.meta.Snapshot.readManifest(s"$incDir/extracted").get.snapshotId shouldBe "snap-new"
@@ -120,7 +120,7 @@ class IncrementalSpec extends SparkSpec {
     // table (candidates, aliasdf, linked, all triple preds) is SKIPPED:
     // only the extracted partition of that bucket is rewritten
     val newP = oldPages.map { p =>
-      if (p.url.endsWith("/p/3"))
+      if (p.url.endsWith("/3"))
         p.copy(
           warc_ts = new Timestamp(p.warc_ts.getTime + 7200000L),
           html = (new String(p.html, "UTF-8")
@@ -128,7 +128,7 @@ class IncrementalSpec extends SparkSpec {
             .getBytes("UTF-8"))
       else p
     }
-    val targetUrl = oldPages.filter(col("url").endsWith("/p/3")).head().url
+    val targetUrl = oldPages.filter(col("url").endsWith("/3")).head().url
     val b = spark.createDataset(Seq(targetUrl)).toDF("url")
       .select(Pipeline.bucketOf(col("url"), N)).head().getLong(0)
 
@@ -163,7 +163,7 @@ class IncrementalSpec extends SparkSpec {
       .filter(col("url") === targetUrl)
       .select(col("alias")).head().getString(0)
     val newP2 = newP.map { p =>
-      if (p.url.endsWith("/p/3"))
+      if (p.url.endsWith("/3"))
         p.copy(
           warc_ts = new Timestamp(p.warc_ts.getTime + 14400000L),
           html = (new String(p.html, "UTF-8")
