@@ -291,12 +291,33 @@ object SparkEntry {
           array_join(col("neighborSummaries"), ",").as("neighbor_summaries"))
         .orderBy("doc_id")
     }),
-    // ---- flagship KG pipeline on the synth corpus (rows-only check) ----
+    // ---- flagship KG pipeline on the synth corpus. Oracle: Verify dumps
+    // the extracted/linked/canon intermediates and DuckDB re-derives all
+    // four predicates (hierarchy chain, FK-validated links, canonical
+    // mentions, capped relates pairs) from them — the emit stage is
+    // hash-compared end-to-end. ----
     "q29_kg_triples" -> ((s, d) => {
       val cfg = SynthConfig(nPages = 120L, nSites = 5, nEntities = 40)
       Pipeline.run(Synth.pages(s, cfg), Synth.aliases(s, cfg),
         Synth.sameAs(s, cfg), cfg.nPages).triples.toDF()
         .orderBy("subj", "pred", "obj")
+    }),
+    // ---- A3/A11 arbitrary-depth ancestor chain over a synthetic
+    // variable-depth path column (the FOLDER-analog derivation, oracled
+    // directly against an independent SQL prefix expansion) ----
+    "q35_path_ancestors" -> ((s, d) => {
+      val doc = col("doc_id")
+      val url = concat(lit("https://"), col("source"), lit(".example/"),
+        col("lang"),
+        when(doc % 3 === 1, concat(lit("/d"), doc % 7))
+          .when(doc % 3 === 2, concat(lit("/d"), doc % 7, lit("/e"), doc % 2))
+          .otherwise(lit("")),
+        lit("/doc"), doc)
+      rd(s, d, "documents").select(doc, url.as("url"))
+        .select(doc, explode(graft.emit.Hierarchy.prefixesOf(col("url")))
+          .as("anc"))
+        .groupBy("anc").agg(countDistinct(col("doc_id")).as("n_docs"))
+        .orderBy("anc")
     }))
 
   /** q25's SRP hyperplanes inlined as DuckDB list literals (identical
@@ -395,7 +416,70 @@ object SparkEntry {
        |ORDER BY cos DESC, id LIMIT 10""".stripMargin
   }
 
+  /** Flagship q29 oracle: re-derive all four predicates in DuckDB from
+    * the dumped pipeline intermediates (Verify substitutes __AUX__ with
+    * the absolute aux_kg path). Encodes the SAME frozen policies as
+    * Emit/NaiveKg: full path-prefix contains chain, FK-validated
+    * links_to, canonical mention distinct, RelatesCap-smallest relates
+    * pairs. */
+  private def q29OracleSql: String = {
+    val scheme = "^[a-zA-Z][a-zA-Z0-9+.-]*://"
+    s"""WITH ex AS (SELECT url, links FROM read_parquet('__AUX__/extracted/*.parquet')),
+       |lk AS (SELECT url, entity_id FROM read_parquet('__AUX__/linked/*.parquet')),
+       |cn AS (SELECT entity_id, canon_id FROM read_parquet('__AUX__/canon/*.parquet')),
+       |pe AS (SELECT DISTINCT l.url, c.canon_id FROM lk l JOIN cn c USING (entity_id)),
+       |pref AS (
+       |  SELECT url, CASE WHEN len(s) <= 1 THEN [p]
+       |    ELSE [array_to_string(s[1:k], '/') for k in range(1, len(s))] END AS ps
+       |  FROM (SELECT url, regexp_replace(url, '$scheme', '') p,
+       |          string_split(regexp_replace(url, '$scheme', ''), '/') s
+       |        FROM ex)),
+       |contains_t AS (
+       |  SELECT DISTINCT x.a AS subj, x.b AS obj
+       |  FROM (SELECT list_prepend('graft:root', ps) anc FROM pref) t,
+       |       unnest([{'a': t.anc[k], 'b': t.anc[k+1]}
+       |               for k in range(1, len(t.anc))]) u(x)
+       |  UNION
+       |  SELECT ps[len(ps)] AS subj, url AS obj FROM pref),
+       |links_t AS (
+       |  SELECT DISTINCT e.url AS subj, u.l AS obj
+       |  FROM ex e, unnest(e.links) u(l)
+       |  WHERE u.l IN (SELECT url FROM ex)),
+       |ments_t AS (SELECT DISTINCT url AS subj, 'ent:' || canon_id AS obj FROM pe),
+       |capped AS (
+       |  SELECT url, canon_id FROM (
+       |    SELECT url, canon_id,
+       |      row_number() OVER (PARTITION BY url ORDER BY canon_id) rn
+       |    FROM pe) WHERE rn <= ${graft.emit.Emit.RelatesCap}),
+       |rel_t AS (
+       |  SELECT DISTINCT 'ent:' || a.canon_id AS subj, 'ent:' || b.canon_id AS obj
+       |  FROM capped a JOIN capped b ON a.url = b.url AND a.canon_id < b.canon_id)
+       |SELECT subj, 'contains' AS pred, obj FROM contains_t
+       |UNION ALL SELECT subj, 'mentions' AS pred, obj FROM ments_t
+       |UNION ALL SELECT subj, 'links_to' AS pred, obj FROM links_t
+       |UNION ALL SELECT subj, 'relates_to' AS pred, obj FROM rel_t
+       |ORDER BY subj, pred, obj""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "q29_kg_triples" -> q29OracleSql,
+    "q35_path_ancestors" ->
+      """WITH urls AS (
+        |  SELECT doc_id,
+        |    'https://' || source || '.example/' || lang ||
+        |    CASE WHEN doc_id % 3 = 1 THEN '/d' || (doc_id % 7)
+        |         WHEN doc_id % 3 = 2 THEN '/d' || (doc_id % 7) || '/e' || (doc_id % 2)
+        |         ELSE '' END || '/doc' || doc_id AS url
+        |  FROM documents),
+        |pref AS (
+        |  SELECT doc_id, unnest(
+        |    CASE WHEN len(s) <= 1 THEN [p]
+        |      ELSE [array_to_string(s[1:k], '/') for k in range(1, len(s))] END) AS anc
+        |  FROM (SELECT doc_id, regexp_replace(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://', '') p,
+        |          string_split(regexp_replace(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://', ''), '/') s
+        |        FROM urls))
+        |SELECT anc, count(DISTINCT doc_id) AS n_docs FROM pref
+        |GROUP BY anc ORDER BY anc""".stripMargin,
     "q32_ann_ivf" -> q32OracleSql,
     "q33_bpe_count" ->
       s"""SELECT doc_id,

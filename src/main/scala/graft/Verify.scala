@@ -22,6 +22,29 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
+    // q29 aux dump: the flagship oracle re-derives all four triple
+    // predicates in DuckDB SQL from these pipeline intermediates (the
+    // pipeline is deterministic, so this run's intermediates equal the
+    // ones behind the q29 result dumped above). Dir name must not start
+    // with "q" — the driver globs out_dir/q* for query results.
+    try {
+      import org.apache.spark.sql.functions.col
+      val cfg = graft.synth.SynthConfig(nPages = 120L, nSites = 5, nEntities = 40)
+      val g = graft.pipeline.Pipeline.run(
+        graft.synth.Synth.pages(spark, cfg),
+        graft.synth.Synth.aliases(spark, cfg),
+        graft.synth.Synth.sameAs(spark, cfg), cfg.nPages)
+      val aux = s"$outDir/aux_kg"
+      g.extracted.toDF().select(col("url"), col("links"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$aux/extracted")
+      g.linked.toDF().select(col("url"), col("entity_id"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$aux/linked")
+      g.canon.toDF()
+        .coalesce(1).write.mode("overwrite").parquet(s"$aux/canon")
+      g.unpersist()
+    } catch { case e: Throwable =>
+      System.err.println(s"[verify] aux_kg dump failed: ${e.getMessage}")
+    }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -34,8 +57,12 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // __AUX__ → the absolute aux_kg path (DuckDB runs from an arbitrary
+    // cwd, so the oracle SQL must carry an absolute read_parquet path)
+    val auxAbs = new java.io.File(s"$outDir/aux_kg").getAbsolutePath
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) => s"${q(k)}: ${q(v.replace("__AUX__", auxAbs))}" }
+      .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }
