@@ -114,22 +114,25 @@ object Emit {
       .union(relates).as[TripleRow]
   }
 
-  /** @param snapshotId stamped onto the PROJECT root node's props —
+  /** Node table BEFORE orphan cleanup. Entity rows cover EVERY canonical
+    * entity in the canon map — the reference creates a node per symbol
+    * and only afterwards prunes the unreferenced ones (pass 8,
+    * clangd_graph_rag_builder.py:200-207, skippable via
+    * --keep-orphans) — so `dropOrphans` is a real, separately-skippable
+    * pass, not a no-op.
+    *
+    * @param snapshotId stamped onto the PROJECT root node's props —
     *        ≙ PROJECT.commit_hash (clangd_graph_rag_builder.py:112-122).
     *        None (in-memory runs) stamps nothing. */
   def nodes(
       extracted: Dataset[ExtractedPage],
-      triples: Dataset[TripleRow],
+      canon: Dataset[CanonRow],
       snapshotId: Option[String] = None): Dataset[NodeRow] = {
     val spark = extracted.sparkSession
     import spark.implicits._
     val ex = extracted.toDF()
 
-    val rootProps = Map("name" -> "root") ++
-      snapshotId.map("snapshot_id" -> _)
-    val root = spark.range(1).select(
-      lit(RootId).as("node_id"), lit(Label.Project).as("label"),
-      typedLit(rootProps).as("props"))
+    val root = rootNode(spark, snapshotId)
 
     // hosts are SITE, deeper path prefixes SECTION (≙ FOLDER nodes)
     val internals = Hierarchy.internalNodes(ex.select($"url"))
@@ -141,15 +144,26 @@ object Emit {
     val pages = ex.select($"url".as("node_id"), lit(Label.Page).as("label"),
       map(lit("lang"), $"lang", lit("text_sha256"), $"text_sha256").as("props"))
 
-    val ents = triples.toDF()
-      .select(explode(array($"subj", $"obj")).as("node_id"))
-      .filter($"node_id".startsWith("ent:"))
-      .distinct()
+    val ents = canon.toDF()
+      .select(concat(lit("ent:"), $"canon_id").as("node_id")).distinct()
       .select($"node_id", lit(Label.Entity).as("label"),
         map(lit("canon"), $"node_id").as("props"))
 
     // dropOrphans removes the root again if there are no sites at all
     root.union(internals).union(pages).union(ents).as[NodeRow]
+  }
+
+  /** The single PROJECT root row, snapshot-stamped — separable so the
+    * incremental updater can refresh ONLY the root's stamp when every
+    * other node input is checksum-unchanged. */
+  def rootNode(
+      spark: org.apache.spark.sql.SparkSession,
+      snapshotId: Option[String]): DataFrame = {
+    val rootProps = Map("name" -> "root") ++
+      snapshotId.map("snapshot_id" -> _)
+    spark.range(1).select(
+      lit(RootId).as("node_id"), lit(Label.Project).as("label"),
+      typedLit(rootProps).as("props"))
   }
 
   /** Degree-0 node cleanup, run last (reference pass 8,

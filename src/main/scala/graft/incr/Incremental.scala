@@ -51,8 +51,14 @@ import org.apache.spark.sql.functions._
   * checksum of those inputs — candidates unchanged ⇒ aliasdf + linked
   * skipped; (linked, canon) unchanged ⇒ mentions + relates_to + their
   * adjacency skipped; (link arrays, url set) unchanged ⇒ links_to
-  * skipped. A body-text edit that touches no mention and no link
-  * rewrites only extracted, nodes and enriched.
+  * skipped; page (url, lang, text_sha256) props unchanged on top of all
+  * that ⇒ nodes skipped (only the PROJECT root's snapshot stamp is
+  * refreshed — the nodes table is partitioned by label so the root is a
+  * one-row leaf); PAGE (node_id, summary) leaves unchanged ⇒ the
+  * internal enrichment roll-up skipped. A body-text edit that touches no
+  * mention and no link rewrites only extracted, nodes and enriched PAGE
+  * rows; an extraction-invariant html edit (comment/script-only)
+  * rewrites only extracted.
   *
   * `nPages` is the score-normalization constant and must equal the value
   * used at full-build time; changing it rescales every idf and requires a
@@ -104,9 +110,10 @@ object Incremental {
       nPages: Long,
       outDir: String,
       newSnapshotId: String,
-      nBuckets: Int = 32): Seq[Long] =
+      nBuckets: Int = 32,
+      keepOrphans: Boolean = false): Seq[Long] =
     updateCore(spark, urlHashes(oldPages, "old_h"), newPages, aliases,
-      sameas, nPages, outDir, newSnapshotId, nBuckets)
+      sameas, nPages, outDir, newSnapshotId, nBuckets, keepOrphans)
 
   /** Incrementally update WITHOUT the old corpus: the diff runs against
     * the `urlhash` stage the build persisted — one scan of the new
@@ -120,12 +127,13 @@ object Incremental {
       nPages: Long,
       outDir: String,
       newSnapshotId: String,
-      nBuckets: Int = 32): Seq[Long] = {
+      nBuckets: Int = 32,
+      keepOrphans: Boolean = false): Seq[Long] = {
     val oldH = spark.read.schema(urlhashSchema)
       .parquet(s"$outDir/urlhash/data")
       .select(col("url"), col("h").as("old_h"))
     updateCore(spark, oldH, newPages, aliases, sameas, nPages, outDir,
-      newSnapshotId, nBuckets)
+      newSnapshotId, nBuckets, keepOrphans)
   }
 
   private def updateCore(
@@ -137,7 +145,8 @@ object Incremental {
       nPages: Long,
       outDir: String,
       newSnapshotId: String,
-      nBuckets: Int): Seq[Long] = {
+      nBuckets: Int,
+      keepOrphans: Boolean): Seq[Long] = {
     import spark.implicits._
 
     // localCheckpoint (eager), NOT cache: these frames' lineage reads the
@@ -225,6 +234,13 @@ object Incremental {
       spark.read.schema(candSchema).parquet(candDir)
         .filter(col("bucket").isin(dirty: _*)))
     val preLinksArrCk = linksArrCk(dirty)
+    // node-table props per dirty-bucket page (extraction only changes in
+    // dirty buckets, so the dirty-scope checksum decides whether any PAGE
+    // node row moved)
+    val nodePropCols = Seq("url", "lang", "text_sha256")
+    val preNodePropsCk = checksumOf(
+      spark.read.parquet(exDir).filter(col("bucket").isin(dirty: _*)),
+      nodePropCols)
 
     // ---- extracted: rebuild the FULL dirty buckets from the new
     // snapshot; a bucket is the overwrite unit, and one left with zero
@@ -234,6 +250,9 @@ object Incremental {
       .withColumn("bucket", Pipeline.bucketOf(col("url"), nBuckets))
       .cache()
     overwriteBuckets(spark, extractedDirty, exDir, dirty)
+    // while the cache is hot (extractedDirty is unpersisted after the
+    // candidates pass)
+    val postNodePropsCk = checksumOf(extractedDirty, nodePropCols)
 
     // ---- candidates (the parse-cache analog): re-detect dirty buckets
     // only; relink-only buckets read their stored candidates later
@@ -399,12 +418,28 @@ object Incremental {
     if (linksChanged) adjacencyFor("links_to", Some(linkScope))
     if (existenceChanged) adjacencyFor("contains", None)
 
-    // ---- nodes: global but column-pruned (sites/urls/props + endpoints)
-    val tAll = spark.read.parquet(triplesDir)
-      .select(col("subj"), col("pred"), col("obj")).as[TripleRow]
-    val exAll = ex.drop("bucket").as[ExtractedPage]
-    Emit.dropOrphans(Emit.nodes(exAll, tAll, Some(newSnapshotId)), tAll)
-      .toDF().write.mode(SaveMode.Overwrite).parquet(s"$outDir/nodes/data")
+    // ---- nodes: global but column-pruned (urls/props + canon ids +
+    // endpoints). Skipped when every input is provably unchanged — a
+    // same-text re-crawl (html differs, extraction doesn't) rewrites
+    // extracted but leaves nodes alone; only the one-row PROJECT leaf is
+    // refreshed with the new snapshot stamp (the table is partitioned by
+    // label for exactly this).
+    val nodesNeeded = force || existenceChanged || canonChanged ||
+      mentionsNeeded || linksChanged || postNodePropsCk != preNodePropsCk
+    if (nodesNeeded) {
+      val tAll = spark.read.parquet(triplesDir)
+        .select(col("subj"), col("pred"), col("obj")).as[TripleRow]
+      val exAll = ex.drop("bucket").as[ExtractedPage]
+      val all = Emit.nodes(exAll, canon.as[CanonRow], Some(newSnapshotId))
+      val out = if (keepOrphans) all.toDF()
+        else Emit.dropOrphans(all, tAll).toDF()
+      out.write.mode(SaveMode.Overwrite).partitionBy("label")
+        .parquet(s"$outDir/nodes/data")
+    } else withDynamicOverwrite(spark) {
+      Emit.rootNode(spark, Some(newSnapshotId))
+        .write.mode(SaveMode.Overwrite).partitionBy("label")
+        .parquet(s"$outDir/nodes/data")
+    }
 
     // ---- enriched: PAGE rows for dirty ∪ link-neighbor buckets (old and
     // new edges); clean summaries reused, roll-ups from materialized
@@ -415,6 +450,16 @@ object Incremental {
       if (force) allBuckets
       else (dirty ++ oldLinksNbrBuckets ++
         nbrBucketsOf(linksToNew, touchedUrls, nBuckets)).distinct.sorted
+    // the internal roll-up is a pure function of the PAGE (node_id,
+    // summary) leaf set — checksum it before and after the PAGE-row
+    // overwrite and skip the roll-up when the leaves are unchanged
+    // (covers added/deleted urls too: the leaf SET moves)
+    def leafCk() = checksumOf(
+      spark.read.parquet(enrichedDir)
+        .filter(col("label") === Label.Page)
+        .select(col("node_id"), col("summary")),
+      Seq("node_id", "summary"))
+    val preLeafCk = leafCk()
     val scopeSums = graft.enrich.Enrich.pageSummaries(readExtracted(enrScope))
     val cleanSums = spark.read.parquet(enrichedDir)
       .filter(col("label") === Label.Page &&
@@ -426,18 +471,20 @@ object Incremental {
         .withColumn("bucket", Pipeline.bucketOf(col("node_id"), nBuckets))
         .localCheckpoint(), // sever lineage: reads the table it rewrites
       enrichedDir, enrScope)
-    // the page's roll-up parent derives from its url alone — no join
-    // back to extracted needed
-    val leaves = spark.read.parquet(enrichedDir)
-      .filter(col("label") === Label.Page)
-      .select(col("node_id").as("node"),
-        graft.emit.Hierarchy.parentOf(col("node_id")).as("parent"),
-        col("summary"))
-    val internalRows = graft.enrich.Enrich.internalNodeRows(leaves)
-      .withColumn("bucket", lit(-1L)).localCheckpoint()
-    withDynamicOverwrite(spark) {
-      internalRows.write.mode(SaveMode.Overwrite)
-        .partitionBy("bucket").parquet(enrichedDir)
+    if (force || leafCk() != preLeafCk) {
+      // the page's roll-up parent derives from its url alone — no join
+      // back to extracted needed
+      val leaves = spark.read.parquet(enrichedDir)
+        .filter(col("label") === Label.Page)
+        .select(col("node_id").as("node"),
+          graft.emit.Hierarchy.parentOf(col("node_id")).as("parent"),
+          col("summary"))
+      val internalRows = graft.enrich.Enrich.internalNodeRows(leaves)
+        .withColumn("bucket", lit(-1L)).localCheckpoint()
+      withDynamicOverwrite(spark) {
+        internalRows.write.mode(SaveMode.Overwrite)
+          .partitionBy("bucket").parquet(enrichedDir)
+      }
     }
 
     // ---- urlhash: rewritten LAST of all data dirs. It is the diff base

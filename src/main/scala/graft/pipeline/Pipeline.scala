@@ -59,11 +59,16 @@ object Pipeline {
     * adjacency re-consume them, so without a cache one action re-extracts
     * every page up to 4× (extraction dominates cost at any scale). Call
     * `Graph.unpersist()` when done. */
+  /** @param keepOrphans skip the degree-0 node cleanup (≙ the
+    *        reference's --keep-orphans escape hatch,
+    *        clangd_graph_rag_builder.py:200-207): canonical entities
+    *        nothing mentions stay in the node table. */
   def run(
       pages: Dataset[PageRow],
       aliases: Dataset[AliasRow],
       sameas: Dataset[SameAsEdge],
-      nPages: Long): Graph = {
+      nPages: Long,
+      keepOrphans: Boolean = false): Graph = {
     val spark = pages.sparkSession
     import spark.implicits._
 
@@ -81,8 +86,9 @@ object Pipeline {
     val pe = Emit.pageEntities(linked, canon)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val triples = Emit.triples(extracted, linked, canon, Some(pe))
-    val nodesAll = Emit.nodes(extracted, triples)
-    val nodes = Emit.dropOrphans(nodesAll, triples)
+    val nodesAll = Emit.nodes(extracted, canon)
+    val nodes =
+      if (keepOrphans) nodesAll else Emit.dropOrphans(nodesAll, triples)
     Graph(extracted, linked, canon, triples, nodes, Emit.adjacency(triples),
       pe, cands)
   }
@@ -109,7 +115,8 @@ object Pipeline {
       nPages: Long,
       outDir: String,
       snapshotId: String,
-      nBuckets: Int = 32): Unit = {
+      nBuckets: Int = 32,
+      keepOrphans: Boolean = false): Unit = {
     import spark.implicits._
 
     // per-url winning html fingerprint — lets the NEXT update diff
@@ -182,10 +189,18 @@ object Pipeline {
         .repartition(col("pred"), col("bucket"))
     }
 
-    Snapshot.stage(spark, outDir, "nodes", snapshotId, EmitVersion) {
+    // partitioned by label so the incremental updater can refresh the
+    // one-row PROJECT leaf (snapshot stamp) without rewriting the rest
+    Snapshot.stage(spark, outDir, "nodes", snapshotId, EmitVersion,
+      Seq("label")) {
       val ex = extracted.drop("bucket").as[ExtractedPage]
-      val td = triples.select(col("subj"), col("pred"), col("obj")).as[TripleRow]
-      Emit.dropOrphans(Emit.nodes(ex, td, Some(snapshotId)), td).toDF()
+      val all = Emit.nodes(ex, canon.as[CanonRow], Some(snapshotId))
+      if (keepOrphans) all.toDF()
+      else {
+        val td = triples.select(col("subj"), col("pred"), col("obj"))
+          .as[TripleRow]
+        Emit.dropOrphans(all, td).toDF()
+      }
     }
 
     Snapshot.stage(spark, outDir, "adjacency", snapshotId, EmitVersion,

@@ -73,7 +73,7 @@ class EmitSpec extends SparkSpec {
       // a url with no path hangs directly off its host
       ("h.example", "https://h.example"))
     // node labels: host = SITE, deeper prefixes = SECTION
-    val nodes = Emit.nodes(ex, Emit.triples(ex, linked, canon)).collect()
+    val nodes = Emit.nodes(ex, canon).collect()
       .map(n => n.node_id -> n.label).toMap
     nodes("h.example") shouldBe Label.Site
     nodes("h.example/a") shouldBe Label.Section

@@ -288,6 +288,69 @@ class IncrementalSpec extends SparkSpec {
     again shouldBe empty
   }
 
+  test("extraction-invariant html edit: ONLY extracted rewritten; nodes root restamped") {
+    val dir = Files.createTempDirectory("graft-inv").toString
+    Pipeline.build(spark, oldPages, Synth.aliases(spark, cfg),
+      Synth.sameAs(spark, cfg), cfg.nPages, dir, "snap-old", N)
+
+    // edit INSIDE an html comment: the html hash changes (dirty bucket)
+    // but extracted text, links, and sha are all byte-identical
+    val newP = oldPages.map { p =>
+      if (p.url.endsWith("/3"))
+        p.copy(
+          warc_ts = new Timestamp(p.warc_ts.getTime + 7200000L),
+          html = (new String(p.html, "UTF-8")
+            .replace("<!-- page 3 -->", "<!-- page 3 recrawled -->"))
+            .getBytes("UTF-8"))
+      else p
+    }
+    val watched = Seq("nodes/data/label=PAGE", "nodes/data/label=SITE",
+      "nodes/data/label=SECTION", "nodes/data/label=ENTITY",
+      "enriched/data/bucket=-1")
+    val before = watched.map(t => t -> fileSet(s"$dir/$t")).toMap
+    val beforeProj = fileSet(s"$dir/nodes/data/label=PROJECT")
+
+    val dirty = Incremental.update(spark, oldPages, newP,
+      Synth.aliases(spark, cfg), Synth.sameAs(spark, cfg), cfg.nPages,
+      dir, "snap-new", N)
+    dirty should have size 1
+
+    // every non-PROJECT node partition and the roll-up leaf untouched
+    for (t <- watched) withClue(s"$t: ") {
+      fileSet(s"$dir/$t") shouldBe before(t)
+    }
+    // ...but the snapshot stamp on the root moved
+    fileSet(s"$dir/nodes/data/label=PROJECT") should not be beforeProj
+    val rootProps = spark.read.parquet(s"$dir/nodes/data")
+      .filter(col("label") === "PROJECT")
+      .select("props").head().getMap[String, String](0)
+    rootProps("snapshot_id") shouldBe "snap-new"
+  }
+
+  test("keepOrphans retains unmentioned canonical entities; default drops them") {
+    val incDir = Files.createTempDirectory("graft-orph").toString
+    Pipeline.build(spark, oldPages, Synth.aliases(spark, cfg),
+      Synth.sameAs(spark, cfg), cfg.nPages, incDir, "snap-old", N,
+      keepOrphans = true)
+    val canonIds = spark.read.parquet(s"$incDir/canon/data")
+      .select("canon_id").distinct().count()
+    val entCount = spark.read.parquet(s"$incDir/nodes/data")
+      .filter(col("label") === "ENTITY").count()
+    entCount shouldBe canonIds // every canonical entity kept
+    // the incremental path preserves the flag's semantics
+    Incremental.update(spark, oldPages, newPages,
+      Synth.aliases(spark, cfg), Synth.sameAs(spark, cfg), cfg.nPages,
+      incDir, "snap-new", N, keepOrphans = true)
+    spark.read.parquet(s"$incDir/nodes/data")
+      .filter(col("label") === "ENTITY").count() shouldBe canonIds
+    // default build drops the never-mentioned ones (fixture has some)
+    val dropDir = Files.createTempDirectory("graft-orph-drop").toString
+    Pipeline.build(spark, oldPages, Synth.aliases(spark, cfg),
+      Synth.sameAs(spark, cfg), cfg.nPages, dropDir, "snap-old", N)
+    spark.read.parquet(s"$dropDir/nodes/data")
+      .filter(col("label") === "ENTITY").count() should be < canonIds
+  }
+
   test("crashed update + empty diff: refuse instead of silently 'nothing to do'") {
     val incDir = Files.createTempDirectory("graft-crash-empty").toString
     Pipeline.build(spark, oldPages, Synth.aliases(spark, cfg),

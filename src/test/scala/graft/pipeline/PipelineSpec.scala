@@ -62,6 +62,19 @@ class PipelineSpec extends SparkSpec {
     adj.length shouldBe graph.triples.collect().map(t => (t.subj, t.obj, t.pred)).toSet.size
   }
 
+  test("keepOrphans skips the degree-0 cleanup: every canonical entity kept") {
+    val kept = Pipeline.run(Synth.pages(spark, cfg), Synth.aliases(spark, cfg),
+      Synth.sameAs(spark, cfg), cfg.nPages, keepOrphans = true)
+    val ents = kept.nodes.collect().filter(_.label == "ENTITY")
+      .map(_.node_id).toSet
+    val canonIds = kept.canon.collect().map(c => s"ent:${c.canon_id}").toSet
+    ents shouldBe canonIds // one node per canonical entity, none dropped
+    // the default (orphan-dropping) node set is a strict subset
+    val droppedEnts = golden.nodes.filter(_._2 == "ENTITY").map(_._1)
+    droppedEnts.subsetOf(ents) shouldBe true
+    droppedEnts.size should be < ents.size
+  }
+
   test("determinism: identical triple set under different parallelism") {
     val t1 = graph.triples.collect().map(t => (t.subj, t.pred, t.obj)).toSet
     val repartitioned = Pipeline.run(
