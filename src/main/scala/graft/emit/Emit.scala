@@ -159,11 +159,15 @@ object Emit {
   def rootNode(
       spark: org.apache.spark.sql.SparkSession,
       snapshotId: Option[String]): DataFrame = {
+    import spark.implicits._
     val rootProps = Map("name" -> "root") ++
       snapshotId.map("snapshot_id" -> _)
-    spark.range(1).select(
-      lit(RootId).as("node_id"), lit(Label.Project).as("label"),
-      typedLit(rootProps).as("props"))
+    // a LocalRelation DATA row, not lit() over range(1): a foldable
+    // node_id would let the optimizer degenerate dropOrphans' semi join
+    // into a BroadcastNestedLoopJoin for this union branch after
+    // union-pushdown (constant = col is no longer an equi predicate)
+    Seq((RootId, Label.Project, rootProps))
+      .toDF("node_id", "label", "props")
   }
 
   /** Degree-0 node cleanup, run last (reference pass 8,

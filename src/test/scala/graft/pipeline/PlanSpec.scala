@@ -96,6 +96,33 @@ class PlanSpec extends SparkSpec {
     "Exchange hashpartitioning".r.findAllIn(p).length shouldBe 1
   }
 
+  test("no cartesian anywhere: every query and pipeline plan is NL-join-free") {
+    // freezes the plan-audit result: no CartesianProduct and no
+    // BroadcastNestedLoopJoin may appear in ANY SparkEntry query plan or
+    // in the pipeline's emitted-table plans — a non-equi join sneaking in
+    // would be quadratic at scale
+    val bad = Seq("CartesianProduct", "BroadcastNestedLoopJoin")
+    def assertClean(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
+      val p = plan(df)
+      withClue(s"$name: ") { bad.foreach(b => p should not include b) }
+    }
+    graft.SparkEntry.queries.foreach { case (name, fn) =>
+      assertClean(name, fn(spark, sf))
+    }
+    val cfg = SynthConfig(nPages = 50L)
+    val g = Pipeline.run(Synth.pages(spark, cfg), Synth.aliases(spark, cfg),
+      Synth.sameAs(spark, cfg), cfg.nPages)
+    try {
+      assertClean("pipeline.triples", g.triples.toDF())
+      assertClean("pipeline.nodes", g.nodes.toDF())
+      assertClean("pipeline.adjacency", g.adjacency.toDF())
+      val lt = g.triples.toDF().filter(col("pred") === "links_to")
+        .select(col("subj"), col("obj"))
+      assertClean("pipeline.enriched",
+        graft.enrich.Enrich.nodeEnrichment(g.extracted, lt))
+    } finally g.unpersist()
+  }
+
   test("url-dedup aggregates partially before the exchange (map-side combine)") {
     val cfg = SynthConfig(nPages = 50L)
     val p = plan(graft.extract.Extract.run(Synth.pages(spark, cfg)).toDF())
