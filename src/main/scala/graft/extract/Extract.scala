@@ -51,8 +51,14 @@ object Extract {
       text = text,
       lang = p.lang,
       links = extractor.extractLinks(p.html),
-      text_sha256 = HtmlText.sha256Hex(text))
+      text_sha256 = HtmlText.sha256Hex(text),
+      html_xxh64 = graft.util.Det.xxh64Bytes(p.html))
   }
+
+  /** Version string of the persisted `extracted` stage: extractor
+    * semantics + row schema (the html_xxh64 column was added after
+    * extractor-v1 shipped — old-layout stage dirs must not be resumed). */
+  val StageVersion: String = HtmlText.VERSION + "+xxh64"
 
   /** Version-adaptive strategy dispatch (P5) — ≙ the reference inspecting
     * the DATA, not configuration, to pick its parse strategy
@@ -96,9 +102,10 @@ object Extract {
       extractor: TextExtractor = HtmlTextExtractor): Dataset[ExtractedPage] = {
     val spark = pages.sparkSession
     import spark.implicits._
-    pages.map(p => (extractOne(p, extractor), graft.util.Det.xxh64Bytes(p.html)))
-      .groupBy($"_1.url")
-      .agg(max_by($"_1", struct($"_1.warc_ts", $"_2")).as("r"))
+    val ex = pages.map(p => extractOne(p, extractor))
+    ex.groupBy($"url")
+      .agg(max_by(struct(ex.columns.map(col): _*),
+        struct($"warc_ts", $"html_xxh64")).as("r"))
       .select($"r.*")
       .as[ExtractedPage]
   }

@@ -168,7 +168,7 @@ object Incremental {
     // itself is still diff-scoped — the urlhash stage is rewritten LAST,
     // so the diff base survives any crash point before it).
     val stageVersions = Seq(
-      "urlhash" -> "diff-v1", "extracted" -> HtmlText.VERSION,
+      "urlhash" -> "diff-v1", "extracted" -> Extract.StageVersion,
       "candidates" -> "mention-v1", "aliasdf" -> "link-v1",
       "linked" -> "link-v1", "canon" -> "canon-v1",
       "triples" -> Pipeline.EmitVersion, "nodes" -> Pipeline.EmitVersion,

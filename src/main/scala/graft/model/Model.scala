@@ -17,7 +17,12 @@ final case class PageRow(
     text: String, // null in the input; populated by the extract stage
     lang: String)
 
-/** Output of the deterministic extraction stage (S6 analog). */
+/** Output of the deterministic extraction stage (S6 analog).
+  * `html_xxh64` carries the source payload's hash across the extract
+  * boundary (the html body itself never does) so EVERY downstream
+  * keep-latest — batch dedup, snapshot diff, and the streaming sink's
+  * cross-micro-batch read — breaks warc_ts ties on the ONE frozen key
+  * (warc_ts, xxhash64(html)). Defaulted for hand-built test rows. */
 final case class ExtractedPage(
     url: String,
     site: String,
@@ -25,7 +30,8 @@ final case class ExtractedPage(
     text: String,
     lang: String,
     links: Seq[String],
-    text_sha256: String)
+    text_sha256: String,
+    html_xxh64: Long = 0L)
 
 /** One dictionary row: a surface form → candidate entity with a prior.
   * Ambiguous aliases occur as multiple rows (linking fixture). */

@@ -130,7 +130,7 @@ object Pipeline {
     }
 
     val extracted = Snapshot.stage(spark, outDir, "extracted", snapshotId,
-      HtmlText.VERSION, Seq("bucket")) {
+      Extract.StageVersion, Seq("bucket")) {
       Extract.run(pages).toDF()
         .withColumn("bucket", bucketOf(col("url"), nBuckets))
         .repartition(col("bucket"))

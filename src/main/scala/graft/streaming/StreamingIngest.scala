@@ -60,18 +60,17 @@ object StreamingIngest {
         col("n_pages"))
   }
 
-  /** Read the streaming sink with cross-batch keep-latest semantics.
-    * Tie-break note: this dedups EXTRACTED rows, where the html payload
-    * no longer exists by design (it never crosses the extract boundary),
-    * so warc_ts ties break on text_sha256 — the batch pipeline's frozen
-    * (warc_ts, xxhash64(html)) key applies within each micro-batch via
-    * Extract.run; the keys only differ for same-url same-warc_ts
-    * duplicates landing in different micro-batches. */
+  /** Read the streaming sink with cross-batch keep-latest semantics —
+    * the SAME frozen (warc_ts, xxhash64(html)) key as the batch
+    * pipeline: extracted rows carry the source payload's hash
+    * (ExtractedPage.html_xxh64), so same-url same-warc_ts duplicates
+    * landing in different micro-batches resolve identically to a batch
+    * run over the union of their inputs. */
   def readLatest(spark: SparkSession, outDir: String): Dataset[ExtractedPage] = {
     import spark.implicits._
     spark.read.parquet(outDir)
       .groupBy(col("url"))
-      .agg(max_by(struct(col("*")), struct(col("warc_ts"), col("text_sha256"))).as("r"))
+      .agg(max_by(struct(col("*")), struct(col("warc_ts"), col("html_xxh64"))).as("r"))
       .select(col("r.*")).as[ExtractedPage]
   }
 

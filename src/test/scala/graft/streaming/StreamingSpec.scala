@@ -57,6 +57,39 @@ class StreamingSpec extends SparkSpec {
       .run(p).count().toInt
   }
 
+  test("cross-batch same-warc_ts duplicates resolve on the ONE frozen tie-break key") {
+    import java.sql.Timestamp
+    import graft.extract.HtmlText
+    import graft.model.PageRow
+    import graft.util.Det
+    // two html variants of one url, SAME warc_ts, whose xxh64 order
+    // DISAGREES with their text_sha256 order — the round-2 asterisk: a
+    // sink dedup keyed on text_sha256 would pick the other winner
+    val variants = (0 until 60).map(i =>
+      s"<html><body><p>variant $i content</p></body></html>".getBytes("UTF-8"))
+    val Seq(a, b) = variants.combinations(2).find { case Seq(x, y) =>
+      (Det.xxh64Bytes(x) < Det.xxh64Bytes(y)) !=
+        (HtmlText.sha256Hex(HtmlText.extract(x)) <
+          HtmlText.sha256Hex(HtmlText.extract(y)))
+    }.get
+    val ts = new Timestamp(5000L)
+    val out = Files.createTempDirectory("graft-stream-tie").toString
+    // the duplicates land in DIFFERENT micro-batches (separate appends)
+    Seq(a, b).foreach { html =>
+      graft.extract.Extract.run(spark.createDataset(
+        Seq(PageRow("http://s/x", ts, html, null, "en")))).toDF()
+        .write.mode("append").parquet(out)
+    }
+    val streamed = StreamingIngest.readLatest(spark, out).collect()
+    streamed.length shouldBe 1
+    // ...and the winner equals a batch run over the UNION of the inputs
+    val batch = graft.extract.Extract.run(spark.createDataset(Seq(
+      PageRow("http://s/x", ts, a, null, "en"),
+      PageRow("http://s/x", ts, b, null, "en")))).collect()
+    streamed.head.text_sha256 shouldBe batch.head.text_sha256
+    streamed.head.html_xxh64 shouldBe batch.head.html_xxh64
+  }
+
   test("watermarked event-time window agg emits closed windows once (append mode)") {
     import java.sql.Timestamp
     implicit val sqlCtx = spark.sqlContext
