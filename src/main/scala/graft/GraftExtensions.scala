@@ -18,6 +18,11 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // whole-operator tier: the interval first-match join as a custom
+    // LogicalPlan + SparkStrategy + SparkPlan (graft.plans); sessions
+    // without the extension fall back to the typed-cogroup path
+    // (IntervalJoin.firstMatchAuto)
+    ext.injectPlannerStrategy(_ => new graft.plans.IntervalFirstMatchStrategy)
     ext.injectFunction((
       FunctionIdentifier("percent_decode"),
       new ExpressionInfo(classOf[PercentDecode].getCanonicalName,

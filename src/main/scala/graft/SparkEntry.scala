@@ -114,7 +114,9 @@ object SparkEntry {
           col("o_totalprice").as("lo"),
           (col("o_totalprice") + 20000.0).as("hi"),
           col("o_orderkey").cast("long").as("iid")).as[IntervalJoin.Interval]
-      IntervalJoin.firstMatch(pts, ivs).toDF()
+      // planned custom-Exec path when the session carries GraftExtensions
+      // (Verify/Bench/tests do), typed-cogroup fallback otherwise
+      IntervalJoin.firstMatchAuto(pts, ivs)
         .select(col("pid").as("event_id"), col("iid").as("o_orderkey"),
           col("key").as("user_id"))
         .orderBy("event_id")

@@ -45,6 +45,30 @@ object IntervalJoin {
     }
   }
 
+  /** Custom-plan path (requires a session built with GraftExtensions):
+    * plans graft.plans.IntervalFirstMatch — same semantics as
+    * `firstMatch`, but staying on InternalRow end-to-end with no encoder
+    * boundary. Output columns (pid, iid, key). */
+  def firstMatchPlanned(
+      points: Dataset[Point], intervals: Dataset[Interval]): DataFrame = {
+    import org.apache.spark.sql.GraftSqlBridge
+    GraftSqlBridge.ofRows(points.sparkSession,
+      graft.plans.IntervalFirstMatch(
+        GraftSqlBridge.logicalPlan(points.toDF()),
+        GraftSqlBridge.logicalPlan(intervals.toDF())))
+  }
+
+  /** The planned path when the strategy is injected, else the cogroup
+    * fallback — callers get the best available operator either way. */
+  def firstMatchAuto(
+      points: Dataset[Point], intervals: Dataset[Interval]): DataFrame = {
+    import org.apache.spark.sql.GraftSqlBridge
+    if (GraftSqlBridge.hasStrategy(points.sparkSession,
+        classOf[graft.plans.IntervalFirstMatchStrategy]))
+      firstMatchPlanned(points, intervals)
+    else firstMatch(points, intervals).toDF()
+  }
+
   /** The declarative equivalent (join + min_by window) — used as the
     * cross-check oracle shape; O(candidates) not O(points). */
   def firstMatchSql(points: DataFrame, intervals: DataFrame): DataFrame = {
