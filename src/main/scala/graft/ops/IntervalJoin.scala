@@ -30,17 +30,13 @@ object IntervalJoin {
     import spark.implicits._
     points.groupByKey(_.key).cogroup(intervals.groupByKey(_.key)) {
       (key, ps, is) =>
-        val sorted = is.toArray.sortBy(i => (i.lo, i.iid))
-        if (sorted.isEmpty) Iterator.empty
+        // IntervalIndex = (lo, iid)-sorted candidates, first hit wins —
+        // the reference's scan semantics, answered in O(log m)
+        val idx = IntervalIndex.build(is.map(i => (i.lo, i.hi, i.iid)).toArray)
+        if (idx.size == 0) Iterator.empty
         else ps.flatMap { pt =>
-          // candidates have lo <= p; scan in start order, first hit wins
-          var res: Option[Match] = None
-          var i = 0
-          while (res.isEmpty && i < sorted.length && sorted(i).lo <= pt.p) {
-            if (pt.p <= sorted(i).hi) res = Some(Match(pt.pid, sorted(i).iid, key))
-            i += 1
-          }
-          res
+          val j = idx.firstMatch(pt.p)
+          if (j < 0) None else Some(Match(pt.pid, idx.iidAt(j), key))
         }
     }
   }

@@ -87,37 +87,33 @@ final case class IntervalFirstMatchExec(
       right.output(iLo).dataType == DoubleType,
       "IntervalFirstMatchExec expects double-typed p/lo/hi")
     left.execute().zipPartitions(right.execute()) { (points, intervals) =>
-      // per-key interval index, sorted by (lo, iid) — the reference's
-      // sort-by-start spatial index, built once per partition.
+      // per-key IntervalIndex (primitive arrays + max-hi segment tree:
+      // O(log m) exact first-match probes) built once per partition.
       // Primitives are extracted immediately: the iterator reuses its
       // UnsafeRow, so no row references may be buffered.
-      val byKey = new java.util.HashMap[Long, scala.collection.mutable.ArrayBuffer[(Double, Double, Long)]]()
+      val acc = new java.util.HashMap[Long, scala.collection.mutable.ArrayBuffer[(Double, Double, Long)]]()
       intervals.foreach { r =>
-        byKey.computeIfAbsent(r.getLong(iKey), _ =>
+        acc.computeIfAbsent(r.getLong(iKey), _ =>
           scala.collection.mutable.ArrayBuffer.empty)
           .append((r.getDouble(iLo), r.getDouble(iHi), r.getLong(iIid)))
       }
-      byKey.values().forEach(b => b.sortInPlaceBy(t => (t._1, t._3)))
+      val byKey = new java.util.HashMap[Long, graft.ops.IntervalIndex](acc.size())
+      acc.forEach((k, b) => byKey.put(k, graft.ops.IntervalIndex.build(b.toArray)))
       val proj = UnsafeProjection.create(Array(LongType, LongType, LongType)
         : Array[org.apache.spark.sql.types.DataType])
       val out = new GenericInternalRow(3)
       points.flatMap { r =>
-        val sorted = byKey.get(r.getLong(pKey))
-        if (sorted == null) Iterator.empty
+        val idx = byKey.get(r.getLong(pKey))
+        if (idx == null) Iterator.empty
         else {
-          val p = r.getDouble(pP)
-          var res: Iterator[InternalRow] = Iterator.empty
-          var i = 0
-          while (res.isEmpty && i < sorted.length && sorted(i)._1 <= p) {
-            if (p <= sorted(i)._2) {
-              out.update(0, r.getLong(pPid))
-              out.update(1, sorted(i)._3)
-              out.update(2, r.getLong(pKey))
-              res = Iterator.single(proj(out))
-            }
-            i += 1
+          val j = idx.firstMatch(r.getDouble(pP))
+          if (j < 0) Iterator.empty
+          else {
+            out.update(0, r.getLong(pPid))
+            out.update(1, idx.iidAt(j))
+            out.update(2, r.getLong(pKey))
+            Iterator.single(proj(out))
           }
-          res
         }
       }
     }
