@@ -33,5 +33,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             s"percent_decode expects exactly 1 argument, got ${exprs.length}")
         PercentDecode(exprs.head)
       }))
+    ext.injectFunction((
+      FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[graft.functions.MinhashSig].getCanonicalName,
+        "minhash_sig"),
+      (exprs: Seq[Expression]) => {
+        if (exprs.length != 2)
+          throw new IllegalArgumentException(
+            s"minhash_sig expects (shingles, k), got ${exprs.length} args")
+        val k = exprs(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"minhash_sig k must be an integer literal, got $other")
+        }
+        graft.functions.MinhashSig(exprs.head, k)
+      }))
   }
 }

@@ -18,8 +18,15 @@ import org.apache.spark.sql.functions._
   */
 object DedupOps {
 
-  /** Word n-gram shingles from a token array column (distinct). */
-  def shingles(tokens: Column, n: Int): Column = {
+  /** Word n-gram shingles from a token array column (distinct,
+    * first-occurrence order). Native expression — the built-ins shape
+    * below is kept as the agreement reference. */
+  def shingles(tokens: Column, n: Int): Column =
+    graft.functions.WordShingles.word_shingles(tokens, n)
+
+  /** Built-ins-only reference shape for WordShingles (interpreted HOF
+    * tree, ~11 µs/shingle; spec-pinned equal to the native expression). */
+  def shinglesHof(tokens: Column, n: Int): Column = {
     val raw = when(size(tokens) < n, array().cast("array<string>"))
       .otherwise(transform(
         sequence(lit(0), size(tokens) - n),
@@ -74,11 +81,21 @@ object DedupOps {
     * hash (lexicographic on hex == numeric), and md5 is portable across
     * engines — so signatures are oracle-checkable.
     *
+    * Delegates to the native MinhashSig expression (one tight loop,
+    * thread-local digest); the built-ins-only shape below is kept as
+    * the agreement reference. */
+  def minhashSigFromShingles(sh: Column, k: Int): Column =
+    graft.functions.MinhashSig.minhash_sig(sh, k)
+
+  /** Built-ins-only reference shape for MinhashSig (HOF pipeline —
+    * interpreted per shingle, ~10× slower; spec-pinned equal to the
+    * native expression).
+    *
     * Callers must bind the shingle expression to its own projection
     * first: referencing `shingles(...)` inline k times re-evaluates the
     * whole higher-order-function tree k times per row (no CSE across
     * lambda trees) — measured 6× slowdown at sf0.1. */
-  def minhashSigFromShingles(sh: Column, k: Int): Column = {
+  def minhashSigHof(sh: Column, k: Int): Column = {
     // one fold over the shingles with a k-slot running-minimum array —
     // a single pass allocates no per-seed intermediate arrays (the
     // naive k × array_min(transform(...)) shape walks the shingle list

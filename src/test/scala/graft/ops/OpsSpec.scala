@@ -83,6 +83,58 @@ class OpsSpec extends SparkSpec {
     r.flatMap(p => Set(p._1, p._2)) should not contain 3L
   }
 
+  test("native WordShingles equals the built-ins HOF reference") {
+    val edge = Seq(
+      (200L, "the quick brown fox jumps over the lazy dog"),
+      (201L, "ab"), // < n tokens → empty array (not null)
+      (202L, "x y z"), // exactly n
+      (203L, "a b a b a b a b"), // repeated shingles → distinct, first-order
+      (204L, "naïve café déjà vu unicode façade")
+    ).toDF("doc_id", "text")
+    for (n <- Seq(1, 3, 5)) {
+      val both = docs.select($"doc_id", $"text").union(edge)
+        .select($"doc_id",
+          DedupOps.shingles(TextOps.tokens($"text"), n).as("native"),
+          DedupOps.shinglesHof(TextOps.tokens($"text"), n).as("hof"))
+        .collect()
+      both.foreach { r =>
+        assert(r.getSeq[String](1) == r.getSeq[String](2),
+          s"n=$n doc=${r.getLong(0)}")
+      }
+    }
+  }
+
+  test("native MinhashSig equals the built-ins HOF reference signature") {
+    import org.apache.spark.sql.functions.{array, col, lit}
+    val edge = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog"),
+      (101L, "tiny"), // < n tokens → empty shingle set → all-"g" sentinel
+      (102L, "naïve café déjà vu — unicode façade naïve café again"),
+      (103L, "a a a a a a a") // heavy duplicate shingles
+    ).toDF("doc_id", "text")
+    val withSh = docs.select($"doc_id", $"text")
+      .union(edge)
+      .select($"doc_id",
+        DedupOps.shingles(TextOps.tokens($"text"), 3).as("sh"))
+    for (k <- Seq(1, 8, 32)) {
+      val both = withSh.select($"doc_id",
+          DedupOps.minhashSigFromShingles($"sh", k).as("native"),
+          DedupOps.minhashSigHof($"sh", k).as("hof"))
+        .collect()
+      both.foreach { r =>
+        assert(r.getSeq[String](1) == r.getSeq[String](2),
+          s"k=$k doc=${r.getLong(0)}")
+      }
+    }
+    // SQL registration path (GraftExtensions)
+    val viaSql = spark.sql(
+      "SELECT minhash_sig(array('a b c', 'b c d'), 4) AS s").head().getSeq[String](0)
+    val viaCol = spark.range(1).select(
+        DedupOps.minhashSigFromShingles(array(lit("a b c"), lit("b c d")), 4))
+      .head().getSeq[String](0)
+    assert(viaSql == viaCol)
+  }
+
   test("minhash LSH candidates superset-check against exact near-dups") {
     val cand = DedupOps.minhashCandidates(docs, "doc_id", "text", 3, 8, 2)
       .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
