@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.functions.VecDot.vec_dot
 import graft.util.Det
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
@@ -15,18 +16,21 @@ import org.apache.spark.sql.functions._
 object AnnOps {
 
   /** Cosine similarity between an embedding column and a literal query
-    * vector, computed in double via zip_with+aggregate (whole-stage
-    * codegen; no UDF). */
+    * vector, computed in double via the native vec_dot expression
+    * (bit-identical to the HOF fold it replaces — see dotHof). */
   def cosineToQuery(emb: Column, query: Array[Float]): Column = {
     val q = lit(query.map(_.toDouble))
-    val dot = aggregate(zip_with(emb, q, (x, y) => x.cast("double") * y),
-      lit(0.0), (acc, x) => acc + x)
-    val nEmb = sqrt(aggregate(
-      transform(emb, x => x.cast("double") * x.cast("double")),
-      lit(0.0), (acc, x) => acc + x))
+    val dot = vec_dot(emb, q)
+    val nEmb = sqrt(vec_dot(emb, emb))
     val nQ = math.sqrt(query.map(x => x.toDouble * x.toDouble).sum)
     dot / (nEmb * lit(nQ))
   }
+
+  /** Built-ins-only reference for VecDot (interpreted HOF fold;
+    * spec-pinned bit-identical to the native expression). */
+  def dotHof(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
 
   /** Exact brute-force top-k by cosine (deterministic tie-break on id).
     * TakeOrderedAndProject: per-partition heap + driver merge of k rows —
@@ -47,9 +51,7 @@ object AnnOps {
     * (nPlanes <= 30). Pure column expression. */
   def srpBucket(emb: Column, seed: Long, nPlanes: Int, d: Int): Column = {
     val bits = (0 until nPlanes).map { p =>
-      val h = lit(hyperplane(seed, p, d))
-      val dot = aggregate(zip_with(emb, h, (x, y) => x.cast("double") * y),
-        lit(0.0), (acc, x) => acc + x)
+      val dot = vec_dot(emb, lit(hyperplane(seed, p, d)))
       when(dot >= 0, lit(1L << p)).otherwise(lit(0L))
     }
     bits.reduce(_ + _)
@@ -94,9 +96,7 @@ object AnnOps {
     * pure column expression — map-side assignment, no shuffle. */
   def ivfCell(emb: Column, seed: Long, nCells: Int, d: Int): Column = {
     val scored = (0 until nCells).map { c =>
-      val cv = lit(ivfCentroid(seed, c, d))
-      val dot = aggregate(zip_with(emb, cv, (x, y) => x.cast("double") * y),
-        lit(0.0), (acc, x) => acc + x)
+      val dot = vec_dot(emb, lit(ivfCentroid(seed, c, d)))
       struct(dot.as("dot"), lit(-c).as("ncid"))
     }
     -array_max(array(scored: _*)).getField("ncid")
@@ -132,12 +132,8 @@ object AnnOps {
       tau: Double, seed: Long = 42L, nPlanes: Int = 6, dim: Int = 64): DataFrame = {
     val b = df.select(col(idCol).as("id"), col(embCol).as("emb"),
       srpBucket(col(embCol), seed, nPlanes, dim).as("bucket"))
-    val dot = aggregate(
-      zip_with(col("a.emb"), col("b.emb"), (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
-    def norm(c: Column) = sqrt(aggregate(
-      transform(c, x => x.cast("double") * x.cast("double")),
-      lit(0.0), (acc, x) => acc + x))
+    val dot = vec_dot(col("a.emb"), col("b.emb"))
+    def norm(c: Column) = sqrt(vec_dot(c, c))
     b.as("a").join(b.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
       .withColumn("cos", dot / (norm(col("a.emb")) * norm(col("b.emb"))))

@@ -79,8 +79,15 @@ object TextOps {
   }
 
   /** Predicted language: argmax of marker counts, ties broken by the
-    * Markers order, zero matches → "und". */
-  def langId(text: Column): Column = {
+    * Markers order, zero matches → "und". Native single-scan expression
+    * (graft.functions.LangId); the regex shape below is the spec-pinned
+    * agreement reference. */
+  def langId(text: Column): Column =
+    graft.functions.LangId.lang_id(text)
+
+  /** Built-ins-only reference shape for LangId: 4 regex passes plus a
+    * CASE tree that re-evaluates each count (no CSE across branches). */
+  def langIdSql(text: Column): Column = {
     val counts = Markers.map { case (l, ws) => l -> markerCount(text, ws) }
     val best = greatest(counts.map(_._2): _*)
     counts.foldRight(lit("und"): Column) { case ((l, c), els) =>

@@ -83,6 +83,54 @@ class OpsSpec extends SparkSpec {
     r.flatMap(p => Set(p._1, p._2)) should not contain 3L
   }
 
+  test("native VecDot is bit-identical to the HOF fold incl. null semantics") {
+    import graft.functions.VecDot.vec_dot
+    import org.apache.spark.sql.functions.lit
+    val rows = Seq(
+      (1L, Array(1.0f, 2.0f, -3.5f), Array(0.5f, -1.0f, 2.0f)),
+      (2L, Array(0.1f, 0.2f, 0.3f), Array(0.3f, 0.2f, 0.1f)),
+      (3L, Array.empty[Float], Array.empty[Float]), // empty → 0.0
+      (4L, Array(1.0f, 2.0f), Array(1.0f, 2.0f, 3.0f)) // length mismatch → null
+    ).toDF("id", "a", "b")
+    val got = rows.select($"id",
+        vec_dot($"a", $"b").as("native"), AnnOps.dotHof($"a", $"b").as("hof"),
+        vec_dot($"a", $"a").as("n_native"), AnnOps.dotHof($"a", $"a").as("n_hof"))
+      .collect()
+    got.foreach { r =>
+      assert(r.isNullAt(1) == r.isNullAt(2) &&
+        (r.isNullAt(1) || r.getDouble(1) == r.getDouble(2)), s"id=${r.getLong(0)}")
+      assert(r.getDouble(3) == r.getDouble(4), s"self-dot id=${r.getLong(0)}")
+    }
+    assert(got.find(_.getLong(0) == 4L).get.isNullAt(1)) // mismatch is null
+    assert(got.find(_.getLong(0) == 3L).get.getDouble(1) == 0.0)
+    // double-typed literal side (the query-vector shape)
+    val q = Array(0.25, -0.5, 0.125)
+    val lits = rows.filter($"id" < 3).select($"id",
+        vec_dot($"a", lit(q)).as("native"), AnnOps.dotHof($"a", lit(q)).as("hof"))
+      .collect()
+    lits.foreach(r => assert(r.getDouble(1) == r.getDouble(2)))
+  }
+
+  test("native LangId equals the regex CASE reference") {
+    val edge = Seq(
+      (300L, "the theory of the-cat and to a"), // \b cases: 'theory' no, 'the-cat' yes
+      (301L, "der die und das ist the and"), // cross-language tie material
+      (302L, "le la et les des"),
+      (303L, "xyzzy plugh"), // no markers → und
+      (304L, "el los las una del el"),
+      (305L, "THE AND OF TO A"), // lower() path
+      (306L, "naïve the café le déjà the"), // multi-byte boundaries
+      (307L, "a_the_b the") // underscore is a word char: no boundary
+    ).toDF("doc_id", "text")
+    val both = docs.select($"doc_id", $"text").union(edge)
+      .select($"doc_id", TextOps.langId($"text").as("native"),
+        TextOps.langIdSql($"text").as("ref"))
+      .collect()
+    both.foreach { r =>
+      assert(r.getString(1) == r.getString(2), s"doc=${r.getLong(0)}")
+    }
+  }
+
   test("native WordShingles equals the built-ins HOF reference") {
     val edge = Seq(
       (200L, "the quick brown fox jumps over the lazy dog"),
