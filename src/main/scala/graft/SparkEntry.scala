@@ -244,11 +244,14 @@ object SparkEntry {
     // ---- multimodal binary plumbing (stub codec; rows-only check) ----
     "q28_multimodal" -> ((s, d) => {
       import s.implicits._
-      val media = rd(s, d, "documents").filter(col("doc_id") < 50)
+      // REAL header bytes constructed from doc_id (6 formats), then
+      // parsed back by the real byte-level parsers through the
+      // mapPartitions codec path; the oracle recomputes the dim
+      // formulas independently, so construct→parse must round-trip
+      val media = rd(s, d, "documents").filter(col("doc_id") < 60)
         .select(col("doc_id").as("media_id"),
-          when(col("doc_id") % 3 === 0, "image")
-            .when(col("doc_id") % 3 === 1, "audio").otherwise("video").as("kind"),
-          col("text").cast("binary").as("payload"))
+          when(col("doc_id") % 6 === 4, "video").otherwise("image").as("kind"),
+          Multimodal.synthHeaderPayload(col("doc_id")).as("payload"))
         .as[Multimodal.MediaRow]
       Multimodal.decodeAndFeaturize(media).toDF()
         .select(col("media_id"), col("kind"), col("format"),
@@ -765,5 +768,20 @@ object SparkEntry {
         |  UNION
         |  SELECT r.a, und.v FROM r JOIN und ON und.u = r.b)
         |SELECT a AS node, min(b) AS canon_id FROM r GROUP BY a
-        |ORDER BY node""".stripMargin)
+        |ORDER BY node""".stripMargin,
+    // q28: the engine constructs real media headers from doc_id and
+    // parses them back byte-level; the oracle recomputes the embedded
+    // dimension/size formulas independently of any byte logic — a
+    // construct→parse round-trip check on the real parsers
+    "q28_multimodal" ->
+      """SELECT doc_id AS media_id,
+        | CASE WHEN doc_id % 6 = 4 THEN 'video' ELSE 'image' END AS kind,
+        | CASE doc_id % 6 WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
+        |   WHEN 2 THEN 'jpeg' WHEN 3 THEN 'riff' WHEN 4 THEN 'mp4'
+        |   ELSE 'riff' END AS format,
+        | CAST(16 + (doc_id * 7) % 1000 AS INT) AS width,
+        | CAST(16 + (doc_id * 13) % 800 AS INT) AS height,
+        | CAST(CASE doc_id % 6 WHEN 0 THEN 29 WHEN 1 THEN 13 WHEN 2 THEN 33
+        |   WHEN 3 THEN 30 WHEN 4 THEN 124 ELSE 25 END AS BIGINT) AS n_bytes
+        |FROM documents WHERE doc_id < 60 ORDER BY media_id""".stripMargin)
 }

@@ -216,4 +216,68 @@ object Multimodal {
         col("content").as("payload"))
       .as[MediaRow]
   }
+
+  // ---------------------------------------------------- header fixtures
+
+  /** Deterministic REAL media headers as a pure column expression:
+    * format by id % 6 (png, gif, jpeg, webp-VP8X, mp4-tkhd, webp-VP8L),
+    * width = 16 + 7·id mod 1000, height = 16 + 13·id mod 800, encoded
+    * into the format's actual byte layout (endianness, segment walks,
+    * VP8L bit packing, ISO-BMFF box sizes included). decodeDims must
+    * invert this construction exactly — the DuckDB oracle (q28)
+    * recomputes the formulas independently, so any parser drift fails
+    * the round-trip. Sizes per format: 29/13/33/30/124/25 bytes. */
+  def synthHeaderPayload(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.Column
+    def byteHex(c: Column) = lpad(hex(c.bitwiseAND(lit(255L))), 2, "0")
+    def be16(c: Column) = lpad(hex(c), 4, "0")
+    def be32(c: Column) = lpad(hex(c), 8, "0")
+    def le16(c: Column) = concat(byteHex(c), byteHex(shiftright(c, 8)))
+    def le24(c: Column) = concat(byteHex(c), byteHex(shiftright(c, 8)),
+      byteHex(shiftright(c, 16)))
+    val w = lit(16L) + (id * 7) % 1000
+    val h = lit(16L) + (id * 13) % 800
+    val png = concat(lit("89504e470d0a1a0a" + "0000000d" + "49484452"),
+      be32(w), be32(h), lit("0806000000"))
+    val gif = concat(lit("474946383961"), le16(w), le16(h), lit("f70000"))
+    // SOI, APP0(2B data), TEM (standalone), DQT(2B data), SOF0, tail —
+    // exercises the segment walk, the no-length-word skip, and the stop
+    val jpeg = concat(lit("ffd8" + "ffe00004" + "6162" + "ff01" +
+      "ffdb0004" + "0001" + "ffc0" + "0011" + "08"),
+      be16(h), be16(w), lit("0311001101110100"))
+    val vp8x = concat(lit("52494646" + "16000000" + "57454250" +
+      "56503858" + "0a000000" + "00" + "000000"),
+      le24(w - 1), le24(h - 1))
+    // ftyp(16) + moov( trak( tkhd v0: 8 + 84B payload, dims 16.16 at +76/+80 ))
+    val mp4 = concat(lit(be32Lit(16) + "6674797069736f6d00000000" +
+      be32Lit(108) + "6d6f6f76" + be32Lit(100) + "7472616b" +
+      be32Lit(92) + "746b6864" +
+      "00000000" + "0000000000000000" + "00000001" + "00000000" +
+      "000003e8" + "0000000000000000" + "0000" + "0000" + "0100" + "0000" +
+      // unity matrix: 9 × 32-bit fixed-point values (36 bytes)
+      "00010000" + "00000000" + "00000000" +
+      "00000000" + "00010000" + "00000000" +
+      "00000000" + "00000000" + "40000000"),
+      be16(w), lit("0000"), be16(h), lit("0000"))
+    // VP8L: 0x2f then 14-bit w-1 / 14-bit h-1 packed little-endian
+    val w1 = w - 1
+    val h1 = h - 1
+    val vp8l = concat(lit("52494646" + "11000000" + "57454250" +
+      "5650384c" + "05000000" + "2f"),
+      byteHex(w1),
+      byteHex(shiftright(w1, 8).bitwiseAND(lit(63L))
+        .bitwiseOR(shiftleft(h1.bitwiseAND(lit(3L)), 6))),
+      byteHex(shiftright(h1, 2)),
+      byteHex(shiftright(h1, 10).bitwiseAND(lit(15L))))
+    unhex(
+      when(id % 6 === 0, png)
+        .when(id % 6 === 1, gif)
+        .when(id % 6 === 2, jpeg)
+        .when(id % 6 === 3, vp8x)
+        .when(id % 6 === 4, mp4)
+        .otherwise(vp8l))
+  }
+
+  private def be32Lit(v: Int): String = f"$v%08x"
 }

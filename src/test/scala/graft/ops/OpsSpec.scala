@@ -83,6 +83,27 @@ class OpsSpec extends SparkSpec {
     r.flatMap(p => Set(p._1, p._2)) should not contain 3L
   }
 
+  test("synth header payloads round-trip through the real parsers") {
+    import org.apache.spark.sql.functions.col
+    val expectedFormat = Seq("png", "gif", "jpeg", "riff", "mp4", "riff")
+    val expectedBytes = Seq(29, 13, 33, 30, 124, 25)
+    val rows = spark.range(0, 12)
+      .select(col("id"), Multimodal.synthHeaderPayload(col("id")).as("p"))
+      .collect()
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val p = r.getAs[Array[Byte]]("p")
+      val f = (id % 6).toInt
+      assert(p.length == expectedBytes(f), s"id=$id size")
+      assert(Multimodal.sniffFormat(p) == expectedFormat(f), s"id=$id format")
+      val codec = new Multimodal.StubCodec
+      val (w, h) = codec.decodeDims(p)
+      assert(w == 16 + (id * 7) % 1000 && h == 16 + (id * 13) % 800,
+        s"id=$id dims ($w,$h) — parser did not invert the construction " +
+          "(fakeDims fallback would differ)")
+    }
+  }
+
   test("native VecDot is bit-identical to the HOF fold incl. null semantics") {
     import graft.functions.VecDot.vec_dot
     import org.apache.spark.sql.functions.lit
