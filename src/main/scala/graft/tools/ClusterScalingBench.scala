@@ -43,7 +43,8 @@ object ClusterScalingBench {
     val spark = SparkSession.builder()
       .master(s"local-cluster[$nWorkers, $coresPerWorker, 4096]")
       .appName(s"graft-cluster-scaling-$nWorkers-x-$coresPerWorker")
-      .config("spark.sql.shuffle.partitions", totalCores.toString)
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", totalCores.toString))
       .config("spark.jars", jar)
       .config("spark.executor.memory", "4g")
       .config("spark.executor.extraJavaOptions", addOpens)
@@ -71,15 +72,17 @@ object ClusterScalingBench {
       val t0 = System.nanoTime()
       val g = Pipeline.run(readPages(), Synth.aliases(spark, cfg),
         Synth.sameAs(spark, cfg), cfg.nPages)
-      val triples = g.triples.count()
+      g.extracted.count() // materialize the extract stage first …
+      val tExtract = (System.nanoTime() - t0) / 1e9
+      val triples = g.triples.count() // … then everything downstream
       val secs = (System.nanoTime() - t0) / 1e9
       g.unpersist()
-      secs -> triples
+      (secs, tExtract, triples)
     }
-    val (secs, triples) = trials.minBy(_._1)
+    val (secs, tExtract, triples) = trials.minBy(_._1)
     println(f"""{"bench":"cluster-scaling","workers":$nWorkers,""" +
       f""""cores_per_worker":$coresPerWorker,"pages":$nPages,""" +
-      f""""triples":$triples,"secs":$secs%.2f,""" +
+      f""""triples":$triples,"secs":$secs%.2f,"extract_secs":$tExtract%.2f,""" +
       f""""docs_per_sec":${nPages / secs}%.1f}""")
     spark.stop()
   }
