@@ -74,6 +74,85 @@ object StreamingIngest {
       .select(col("r.*")).as[ExtractedPage]
   }
 
+  // ---------------------------------------------------- streaming dedup
+
+  /** Streaming EXACT dedup on content hash with watermark-bounded state
+    * (the LLM-ingest dedup gate): duplicates of an html payload arriving
+    * within `lateness` of each other are dropped, and the engine evicts
+    * a key's state once the watermark passes — unbounded-stream-safe,
+    * unlike a plain dropDuplicates whose state grows forever. */
+  def dedupExactWithinWatermark(
+      pages: Dataset[PageRow],
+      lateness: String = "1 hour"): Dataset[PageRow] = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    pages.toDF()
+      .withColumn("content_h", xxhash64(col("html")))
+      .withWatermark("warc_ts", lateness)
+      .dropDuplicatesWithinWatermark("content_h")
+      .drop("content_h").as[PageRow]
+  }
+
+  /** warc_ts rides at top level (not only inside `page`): the
+    * event-time watermark tag lives on the COLUMN, and the streaming
+    * checker must see a tagged top-level column downstream of the
+    * grouping for EventTimeTimeout to be allowed. */
+  final case class SigPage(
+      sig: String, warc_ts: java.sql.Timestamp, page: ExtractedPage)
+
+  /** Streaming NEAR-dup gate: first-seen-wins per minhash signature,
+    * custom state with EVENT-TIME eviction (flatMapGroupsWithState).
+    * A page whose k-slot signature was last seen less than `ttlMs` of
+    * event time ago is suppressed (re-arrivals extend the window); once
+    * the watermark passes last-seen + ttl the state times out and the
+    * signature may be admitted again. Within one micro-batch the
+    * admitted row is the (warc_ts, html_xxh64, url)-minimal one — the
+    * pipeline's frozen tie-break, so replaying the same drops admits
+    * the same pages. */
+  def nearDupGate(
+      pages: Dataset[ExtractedPage],
+      n: Int = 3,
+      k: Int = 8,
+      lateness: String = "30 minutes",
+      ttlMs: Long = 60L * 60 * 1000): Dataset[ExtractedPage] = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    import graft.ops.{DedupOps, TextOps}
+    val sigged = pages.toDF()
+      .withWatermark("warc_ts", lateness)
+      .withColumn("sig", concat_ws("|",
+        DedupOps.minhashSigFromShingles(
+          DedupOps.shingles(TextOps.tokens(col("text")), n), k)))
+      .select(col("sig"), col("warc_ts"),
+        struct(col("url"), col("site"), col("warc_ts"),
+          col("text"), col("lang"), col("links"), col("text_sha256"),
+          col("html_xxh64")).as("page"))
+      .as[SigPage]
+    sigged
+      .groupByKey(_.sig)
+      .flatMapGroupsWithState[Long, ExtractedPage](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_, rows, state) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            // per-key per-batch rows: bounded buffer (one micro-batch)
+            val rs = rows.toArray
+            val out =
+              if (state.exists || rs.isEmpty) Iterator.empty
+              else Iterator.single(rs
+                .minBy(sp => (sp.warc_ts.getTime, sp.page.html_xxh64,
+                  sp.page.url)).page)
+            state.update(1L)
+            // TTL anchored to the key's max EVENT time, not the
+            // watermark: the watermark lags a whole batch, and anchoring
+            // there evicts one trigger too early
+            if (rs.nonEmpty)
+              state.setTimeoutTimestamp(rs.map(_.warc_ts.getTime).max + ttlMs)
+            out
+          }
+      }
+  }
+
   // ---------------------------------------------------- stateful operator
 
   final case class SiteCount(site: String, n_pages: Long)

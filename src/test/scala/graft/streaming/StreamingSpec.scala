@@ -116,6 +116,82 @@ class StreamingSpec extends SparkSpec {
     got should contain((0L, "s2", 1L))
   }
 
+  test("streaming exact dedup drops in-watermark duplicates, evicts state after") {
+    import java.sql.Timestamp
+    import graft.model.PageRow
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[PageRow]
+    val out = StreamingIngest.dedupExactWithinWatermark(mem.toDS(), "10 minutes")
+    val q = out.writeStream.format("memory").queryName("dedup_exact")
+      .outputMode(OutputMode.Append()).start()
+    def page(url: String, ts: Long, html: String) =
+      PageRow(url, new Timestamp(ts), html.getBytes("UTF-8"), null, "en")
+    val h = 3600L * 1000L
+    mem.addData(page("u1", 0L, "<p>X</p>"), page("u2", 10000L, "<p>X</p>"),
+      page("u3", 20000L, "<p>Y</p>"))
+    q.processAllAvailable()
+    spark.table("dedup_exact").count() shouldBe 2L // one X, one Y
+    mem.addData(page("u4", 60000L, "<p>X</p>")) // in-watermark dup → dropped
+    q.processAllAvailable()
+    spark.table("dedup_exact").count() shouldBe 2L
+    // jump event time: watermark passes X's state → key admissible again
+    mem.addData(page("u5", 5 * h, "<p>Z</p>"))
+    q.processAllAvailable()
+    mem.addData(page("u6", 5 * h + 1000L, "<p>X</p>"))
+    q.processAllAvailable()
+    val urls = spark.table("dedup_exact").collect().map(_.getString(0)).toSet
+    q.stop()
+    urls should contain("u6") // X re-admitted after state eviction
+    // exactly ONE of the intra-batch X duplicates survived (which one is
+    // engine-arbitrary within a batch), and the cross-batch dup never did
+    Set("u1", "u2").intersect(urls).size shouldBe 1
+    (urls should not).contain("u4")
+  }
+
+  test("streaming near-dup gate: first-seen-wins per signature with TTL eviction") {
+    import java.sql.Timestamp
+    import graft.model.ExtractedPage
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[ExtractedPage]
+    // lateness 10 min, ttl 30 min of event time
+    val out = StreamingIngest.nearDupGate(mem.toDS(),
+      n = 3, k = 8, lateness = "10 minutes", ttlMs = 30L * 60 * 1000)
+    val q = out.writeStream.format("memory").queryName("neardup_gate")
+      .outputMode(OutputMode.Append()).start()
+    val textA = "the quick brown fox jumps over the lazy dog again and again"
+    val textB = "a completely different document about spark catalyst plans"
+    def page(url: String, ts: Long, text: String, xxh: Long = 0L) =
+      ExtractedPage(url, "s", new Timestamp(ts), text, "en", Nil, "sha", xxh)
+    val m = 60L * 1000L
+    // batch 1: two same-signature docs + one distinct — tie-break by
+    // (warc_ts, html_xxh64, url) admits u1. Event times start well
+    // above 0: rows at/below the initial watermark are dropped as late.
+    mem.addData(page("u2", 60 * m, textA, xxh = 9L),
+      page("u1", 60 * m, textA, xxh = 3L),
+      page("u3", 61 * m, textB))
+    q.processAllAvailable()
+    val got1 = spark.table("neardup_gate").collect().map(_.getString(0)).toSet
+    got1 shouldBe Set("u1", "u3")
+    // batch 2: same signature within TTL → suppressed
+    mem.addData(page("u4", 65 * m, textA))
+    q.processAllAvailable()
+    spark.table("neardup_gate").count() shouldBe 2L
+    // advance event time far past lateness+ttl, then let the timeout
+    // trigger fire (timeouts process at the NEXT trigger after the
+    // watermark moves), then re-offer the signature
+    mem.addData(page("u5", 120 * m, textB + " tail one"))
+    q.processAllAvailable()
+    mem.addData(page("u6", 121 * m, textB + " tail two"))
+    q.processAllAvailable()
+    mem.addData(page("u7", 122 * m, textA))
+    q.processAllAvailable()
+    val urls = spark.table("neardup_gate").collect().map(_.getString(0)).toSet
+    q.stop()
+    urls should contain("u7") // signature re-admitted after eviction
+    (urls should not).contain("u2")
+    (urls should not).contain("u4")
+  }
+
   test("mapGroupsWithState site counter matches batch aggregation") {
     val ex = graft.extract.Extract.run(Synth.pages(spark, cfg))
     implicit val sqlCtx = spark.sqlContext
