@@ -2,7 +2,7 @@ package graft.emit
 
 import graft.model._
 import graft.util.SaltedJoin
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 /** Stage 5: materialize the graph — triple, node, adjacency tables.
@@ -69,13 +69,19 @@ object Emit {
       .agg(slice(array_sort(collect_set(col("canon_id"))), 1, RelatesCap)
         .as("es"))
     capped
-      .select(explode(flatten(transform(col("es"), (a, i) =>
-        transform(slice(col("es"), i + 2, size(col("es"))),
-          b => struct(a.as("x"), b.as("y")))))).as("p"))
+      .select(explode(graft.functions.ArrayPairs.array_pairs(col("es")))
+        .as("p"))
       .select(concat(lit("ent:"), col("p.x")).as("subj"),
         concat(lit("ent:"), col("p.y")).as("obj"))
       .distinct()
   }
+
+  /** Built-ins-only reference for ArrayPairs (nested interpreted
+    * transforms; spec-pinned equal to the native expression). */
+  def pairsHof(es: Column): Column =
+    flatten(transform(es, (a, i) =>
+      transform(slice(es, i + 2, size(es)),
+        b => struct(a.as("x"), b.as("y")))))
 
   def triples(
       extracted: Dataset[ExtractedPage],

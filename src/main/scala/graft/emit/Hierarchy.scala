@@ -29,8 +29,14 @@ object Hierarchy {
     * deepest-dir]. The final path segment is the page's own leaf name and
     * is NOT a prefix; a url with no path ("https://host") is its own
     * single-prefix host. prefixes(url)[0] == Extract.site(url) by
-    * construction. */
-  def prefixesOf(url: Column): Column = {
+    * construction. Native single-scan expression; the declarative shape
+    * below is the spec-pinned agreement reference. */
+  def prefixesOf(url: Column): Column =
+    graft.functions.PathPrefixes.path_prefixes(url)
+
+  /** Built-ins-only reference for PathPrefixes (regexp_replace + split +
+    * interpreted transform/slice/array_join per row). */
+  def prefixesOfSql(url: Column): Column = {
     val segs = split(pathOf(url), "/")
     when(size(segs) <= 1, array(pathOf(url)))
       .otherwise(transform(sequence(lit(1), size(segs) - 1),

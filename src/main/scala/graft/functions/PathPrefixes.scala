@@ -1,0 +1,88 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native ancestor-prefix derivation for the url-path hierarchy,
+  * value-identical to the declarative shape in
+  * [[graft.emit.Hierarchy.prefixesOfSql]] (spec-pinned): strip the
+  * scheme (`^[a-zA-Z][a-zA-Z0-9+.-]*://`), split the remainder on '/'
+  * (trailing empties kept, as Spark's split does), and emit the joined
+  * prefixes of lengths 1..n-1 shallowest-first — or the whole path as a
+  * single prefix when it has ≤ 1 segment.
+  *
+  * One string scan instead of a regexp_replace + split + interpreted
+  * transform/slice/array_join tree per row — this runs per url in the
+  * flagship emit path.
+  */
+case class PathPrefixes(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"path_prefixes expects string, got $other")
+    }
+
+  override def nullSafeEval(input: Any): Any = {
+    val url = input.asInstanceOf[UTF8String].toString
+    val path = PathPrefixes.stripScheme(url)
+    // split points = '/' positions; prefixes end just before each one
+    val slashes = new scala.collection.mutable.ArrayBuffer[Int]()
+    var i = 0
+    while (i < path.length) {
+      if (path.charAt(i) == '/') slashes += i
+      i += 1
+    }
+    val out =
+      if (slashes.isEmpty) Array[AnyRef](UTF8String.fromString(path))
+      else {
+        val a = new Array[AnyRef](slashes.length)
+        var k = 0
+        while (k < slashes.length) {
+          a(k) = UTF8String.fromString(path.substring(0, slashes(k)))
+          k += 1
+        }
+        a
+      }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PathPrefixes =
+    copy(child = newChild)
+
+  override def prettyName: String = "path_prefixes"
+}
+
+object PathPrefixes {
+  import org.apache.spark.sql.graftbridge.ColumnBridge
+
+  /** `^[a-zA-Z][a-zA-Z0-9+.-]*://` removed if present — same acceptance
+    * as the Hierarchy scheme regex. */
+  private[functions] def stripScheme(url: String): String = {
+    def schemeChar(c: Char): Boolean =
+      (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+        (c >= '0' && c <= '9') || c == '+' || c == '.' || c == '-'
+    if (url.isEmpty || !Character.isLetter(url.charAt(0))) return url
+    var i = 1
+    while (i < url.length && schemeChar(url.charAt(i))) i += 1
+    if (i + 2 < url.length && url.charAt(i) == ':' &&
+      url.charAt(i + 1) == '/' && url.charAt(i + 2) == '/')
+      url.substring(i + 3)
+    else url
+  }
+
+  /** Column-API entry point. */
+  def path_prefixes(url: Column): Column =
+    ColumnBridge.column(PathPrefixes(ColumnBridge.expression(url)))
+}

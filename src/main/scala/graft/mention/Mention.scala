@@ -56,17 +56,21 @@ object Mention {
     if (maxLen == 0) return spark.emptyDataset[CandidateRow]
     val firstTokensB = spark.sparkContext.broadcast(dictStats.iterator.map(_._2).toSet)
 
-    val grams = extracted.flatMap { p =>
-      val toks = tokenize(p.text)
-      val ft = firstTokensB.value
-      Iterator.range(0, toks.length)
-        .filter(s => ft.contains(toks(s)))
-        .flatMap { s =>
-          Iterator.range(1, maxLen + 1)
-            .filter(l => s + l <= toks.length)
-            .map(l => (p.url, s, l, toks.slice(s, s + l).mkString(" ")))
-        }
-    }.toDF("url", "tok_start", "tok_len", "surface")
+    // project to (url, text) BEFORE the typed boundary: the object
+    // deserializer otherwise rebuilds the full ExtractedPage (links
+    // array, hashes, …) per row just to read two fields
+    val grams = extracted.select($"url", $"text").as[(String, String)]
+      .flatMap { case (url, text) =>
+        val toks = tokenize(text)
+        val ft = firstTokensB.value
+        Iterator.range(0, toks.length)
+          .filter(s => ft.contains(toks(s)))
+          .flatMap { s =>
+            Iterator.range(1, maxLen + 1)
+              .filter(l => s + l <= toks.length)
+              .map(l => (url, s, l, toks.slice(s, s + l).mkString(" ")))
+          }
+      }.toDF("url", "tok_start", "tok_len", "surface")
 
     grams
       .join(broadcast(dict.toDF()), $"surface" === $"alias", "inner")

@@ -180,14 +180,21 @@ object Pipeline {
     // bucket), so incremental updates overwrite exactly the dirty
     // (pred, bucket) leaves; queries touching one predicate get partition
     // pruning for free
+    // shared by the mentions and relates_to branches inside the triples
+    // stage write (run() persists the same frame for the same reason);
+    // never materialized at all when the stage resumes from its manifest
+    val peShared = Emit.pageEntities(
+        linked.drop("bucket").as[LinkedMention], canon.as[CanonRow])
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val triples = Snapshot.stage(spark, outDir, "triples", snapshotId,
       EmitVersion, Seq("pred", "bucket")) {
       val ex = extracted.drop("bucket").as[ExtractedPage]
       val lk = linked.drop("bucket").as[LinkedMention]
-      Emit.triples(ex, lk, canon.as[CanonRow]).toDF()
+      Emit.triples(ex, lk, canon.as[CanonRow], Some(peShared)).toDF()
         .withColumn("bucket", bucketOf(col("subj"), nBuckets))
         .repartition(col("pred"), col("bucket"))
     }
+    peShared.unpersist()
 
     // partitioned by label so the incremental updater can refresh the
     // one-row PROJECT leaf (snapshot stamp) without rewriting the rest

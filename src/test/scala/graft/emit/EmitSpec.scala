@@ -11,6 +11,51 @@ class EmitSpec extends SparkSpec {
 
   private val ts = new Timestamp(1577836800000L)
 
+  test("native PathPrefixes equals the declarative prefix derivation") {
+    val urls = Seq(
+      "https://host.example/a/b/42",
+      "https://host.example/",
+      "https://host.example",
+      "http://h/x",
+      "no-scheme-path/a/b",
+      "plainhost",
+      "a://x/y",
+      "weird+s-c.heme://h/p/q",
+      "ftp:/notascheme/a",
+      "https://h//double//slash/p",
+      "" // empty url
+    ).toDF("url")
+    val rows = urls.select(
+        Hierarchy.prefixesOf(col("url")).as("native"),
+        Hierarchy.prefixesOfSql(col("url")).as("ref"),
+        col("url"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getSeq[String](0) == r.getSeq[String](1), s"url=${r.getString(2)}")
+    }
+  }
+
+  test("native ArrayPairs equals the nested-transform reference") {
+    val arrays = Seq(
+      Seq.empty[Long], Seq(7L), Seq(3L, 9L), Seq(1L, 2L, 3L, 4L, 5L))
+      .toDF("es")
+    val rows = arrays.select(
+        graft.functions.ArrayPairs.array_pairs(col("es")).as("native"),
+        Emit.pairsHof(col("es")).as("ref"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getSeq[org.apache.spark.sql.Row](0) ==
+        r.getSeq[org.apache.spark.sql.Row](1))
+    }
+    // explicit order pin: (i, j) pairs in index order
+    val one = arrays
+      .filter(org.apache.spark.sql.functions.size(col("es")) === 2)
+      .select(explode(graft.functions.ArrayPairs.array_pairs(col("es"))).as("p"))
+      .select(col("p.x"), col("p.y")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    one shouldBe Seq((3L, 9L))
+  }
+
   test("relates_to head page: pairs among the RelatesCap smallest canon ids only") {
     // a glossary-style page mentioning 5000 distinct entities — unbounded
     // pairing would emit 12.5M rows from this ONE page; the frozen policy
