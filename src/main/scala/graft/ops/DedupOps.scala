@@ -198,6 +198,9 @@ object DedupOps {
     out
   }
 
+  /** UDF reference for the native SimHash64 expression (spec-pinned
+    * equal; the native path avoids the per-row Seq[String] conversion at
+    * the codegen boundary). */
   val simhashUdf = udf((toks: Seq[String]) => simhash64(toks))
 
   /** SimHash near-dup pairs within a Hamming radius. Banding on 4×16-bit
@@ -207,7 +210,8 @@ object DedupOps {
   def simhashPairs(df: DataFrame, idCol: String, textCol: String, maxHamming: Int = 3): DataFrame = {
     require(maxHamming <= 3, "4-band pigeonhole only covers radius 3")
     val sigs = df.select(col(idCol).as("id"),
-      simhashUdf(TextOps.tokens(col(textCol))).as("sig"))
+      graft.functions.SimHash64.simhash64(TextOps.tokens(col(textCol)))
+        .as("sig"))
     val chunks = sigs.select(col("id"), col("sig"), posexplode(array(
       (0 until 4).map(i =>
         shiftright(col("sig"), i * 16).bitwiseAND(lit(0xFFFFL))): _*)))

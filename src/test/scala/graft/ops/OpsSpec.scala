@@ -132,6 +132,20 @@ class OpsSpec extends SparkSpec {
     lits.foreach(r => assert(r.getDouble(1) == r.getDouble(2)))
   }
 
+  test("native SimHash64 equals the Scala UDF reference") {
+    val both = docs.select($"doc_id",
+        graft.functions.SimHash64.simhash64(TextOps.tokens($"text")).as("native"),
+        DedupOps.simhashUdf(TextOps.tokens($"text")).as("udf"))
+      .collect()
+    both.foreach(r => assert(r.getLong(1) == r.getLong(2), s"doc=${r.getLong(0)}"))
+    // empty token set: both give the all-ties-zero signature
+    val z = spark.range(1).toDF("i")
+      .select(graft.functions.SimHash64.simhash64(
+        org.apache.spark.sql.functions.array().cast("array<string>")))
+      .head().getLong(0)
+    z shouldBe 0L
+  }
+
   test("native LangId equals the regex CASE reference") {
     val edge = Seq(
       (300L, "the theory of the-cat and to a"), // \b cases: 'theory' no, 'the-cat' yes
