@@ -55,16 +55,66 @@ object HtmlText {
     * (HtmlTextReferenceSpec) and the golden sha256 fixtures. Steps 2-3
     * (comment / script-style excision) stay as regexes: their
     * interleaving corner cases are not worth hand-replicating. */
-  def extractFromString(raw: String): String = {
+  def extractFromString(raw: String): String =
+    scanSteps(regexSteps(raw))
+
+  /** Steps 2-3 (comment / script-style excision; the two remaining regex
+    * passes), exposed for step-level profiling. */
+  def regexSteps(raw: String): String = {
     var s = raw
     s = comment.replaceAllIn(s, "")
     s = scriptStyle.replaceAllIn(s, "")
-    s = stripBlockTags(s) // == blockTag.replaceAllIn(s, "\n")
-    s = stripAnyTags(s) // == anyTag.replaceAllIn(s, "")
-    s = decodeNamedEntities(s) // == the six sequential .replace passes
-    s = decodeNumericEntities(s) // == the numEntity regex pass (runs AFTER
-    // the named pass -- so "&amp;#65;" decodes to "A", as in v1)
-    normalizeWs(s)
+    s
+  }
+
+  /** Steps 4-7 (the fused scanners), exposed for step-level profiling.
+    * Implementation detail: the four tag/entity passes run on two
+    * ping-pong char buffers (every pass SHRINKS its input, so two
+    * n-sized arrays cover the whole cascade) — this halves the memory
+    * traffic of the previous one-StringBuilder-and-toString-per-pass
+    * shape with byte-identical output (golden sha256 fixtures + the
+    * 500-case equivalence fuzz against the retained v1 reference
+    * implementation pin it). */
+  def scanSteps(raw: String): String = {
+    val n = raw.length
+    if (n == 0) return raw
+    var src = new Array[Char](n)
+    raw.getChars(0, n, src, 0)
+    var dst = new Array[Char](n)
+    var len = n
+    def swap(newLen: Int): Unit = { val t = src; src = dst; dst = t; len = newLen }
+    if (idxOfChar(src, 0, len, '<') >= 0) {
+      swap(stripBlockTagsArr(src, len, dst))
+      if (idxOfChar(src, 0, len, '<') >= 0) swap(stripAnyTagsArr(src, len, dst))
+    }
+    if (idxOfChar(src, 0, len, '&') >= 0) {
+      swap(decodeNamedEntitiesArr(src, len, dst))
+      if (idxOfAmpHash(src, len) >= 0) swap(decodeNumericEntitiesArr(src, len, dst))
+    }
+    swap(normalizeWsArr(src, len, dst))
+    new String(src, 0, len)
+  }
+
+  private def idxOfChar(a: Array[Char], from: Int, len: Int, c: Char): Int = {
+    var i = from
+    while (i < len) { if (a(i) == c) return i; i += 1 }
+    -1
+  }
+
+  private def idxOfAmpHash(a: Array[Char], len: Int): Int = {
+    var i = 0
+    while (i + 1 < len) { if (a(i) == '&' && a(i + 1) == '#') return i; i += 1 }
+    -1
+  }
+
+  private def regionIs(a: Array[Char], len: Int, i: Int, pat: String): Boolean = {
+    if (i + pat.length > len) return false
+    var k = 0
+    while (k < pat.length) {
+      if (a(i + k) != pat.charAt(k)) return false
+      k += 1
+    }
+    true
   }
 
   private def isWordChar(ch: Char): Boolean =
@@ -72,51 +122,49 @@ object HtmlText {
       (ch >= '0' && ch <= '9') || ch == '_'
 
   /** Scan equivalent to the blockTag regex (optional '/', block name,
-    * word boundary, anything-but-'>' run, '>'), emitting "\n". A
-    * non-matching '<' advances ONE char (regex does not consume non-matches; a block
-    * tag nested inside a malformed tag must still be found). A tag is a
-    * block match iff its maximal word-run name is in BlockNames (equivalent
-    * to alternative-plus-word-boundary) and a '>' exists. */
-  private def stripBlockTags(s: String): String = {
-    val n = s.length
-    if (s.indexOf('<') < 0) return s
-    val out = new java.lang.StringBuilder(n)
+    * word boundary, anything-but-'>' run, '>'), emitting '\n'. A
+    * non-matching '<' advances ONE char (regex does not consume
+    * non-matches; a block tag nested inside a malformed tag must still
+    * be found). A tag is a block match iff its maximal word-run name is
+    * in BlockNames (equivalent to alternative-plus-word-boundary) and a
+    * '>' exists. */
+  private def stripBlockTagsArr(src: Array[Char], len: Int, dst: Array[Char]): Int = {
+    var o = 0
     var i = 0
-    while (i < n) {
-      val c = s.charAt(i)
-      if (c != '<') { out.append(c); i += 1 }
+    while (i < len) {
+      val c = src(i)
+      if (c != '<') { dst(o) = c; o += 1; i += 1 }
       else {
         var j = i + 1
-        if (j < n && s.charAt(j) == '/') j += 1
+        if (j < len && src(j) == '/') j += 1
         var k = j
-        while (k < n && isWordChar(s.charAt(k))) k += 1
-        val gt = if (k < n) s.indexOf('>', k) else -1
+        while (k < len && isWordChar(src(k))) k += 1
+        val gt = if (k < len) idxOfChar(src, k, len, '>') else -1
         if (k > j && gt >= 0 &&
-          BlockNames.contains(s.substring(j, k).toLowerCase(java.util.Locale.ROOT))) {
-          out.append('\n'); i = gt + 1
-        } else { out.append(c); i += 1 }
+          BlockNames.contains(new String(src, j, k - j)
+            .toLowerCase(java.util.Locale.ROOT))) {
+          dst(o) = '\n'; o += 1; i = gt + 1
+        } else { dst(o) = c; o += 1; i += 1 }
       }
     }
-    out.toString
+    o
   }
 
-  /** Scan equivalent to the anyTag regex: consume '<' to the FIRST '>'; a '<'
-    * with no later '>' stays literal (regex finds no match). */
-  private def stripAnyTags(s: String): String = {
-    val n = s.length
-    if (s.indexOf('<') < 0) return s
-    val out = new java.lang.StringBuilder(n)
+  /** Scan equivalent to the anyTag regex: consume '<' to the FIRST '>';
+    * a '<' with no later '>' stays literal (regex finds no match). */
+  private def stripAnyTagsArr(src: Array[Char], len: Int, dst: Array[Char]): Int = {
+    var o = 0
     var i = 0
-    while (i < n) {
-      val c = s.charAt(i)
-      if (c != '<') { out.append(c); i += 1 }
+    while (i < len) {
+      val c = src(i)
+      if (c != '<') { dst(o) = c; o += 1; i += 1 }
       else {
-        val gt = s.indexOf('>', i + 1)
-        if (gt < 0) { out.append(c); i += 1 }
+        val gt = idxOfChar(src, i + 1, len, '>')
+        if (gt < 0) { dst(o) = c; o += 1; i += 1 }
         else i = gt + 1
       }
     }
-    out.toString
+    o
   }
 
   /** One scan replacing the six sequential .replace passes. Left-to-
@@ -124,93 +172,107 @@ object HtmlText {
     * NAMED entity match (the &amp; replacement is '&' and the scan
     * continues after it -- exactly the sequenced-String.replace result
     * with &amp; ordered last). */
-  private def decodeNamedEntities(s: String): String = {
-    val n = s.length
-    if (s.indexOf('&') < 0) return s
-    val out = new java.lang.StringBuilder(n)
+  private def decodeNamedEntitiesArr(src: Array[Char], len: Int, dst: Array[Char]): Int = {
+    var o = 0
     var i = 0
-    while (i < n) {
-      val c = s.charAt(i)
-      if (c != '&') { out.append(c); i += 1 }
-      else if (s.regionMatches(i + 1, "lt;", 0, 3)) { out.append('<'); i += 4 }
-      else if (s.regionMatches(i + 1, "gt;", 0, 3)) { out.append('>'); i += 4 }
-      else if (s.regionMatches(i + 1, "quot;", 0, 5)) { out.append('"'); i += 6 }
-      else if (s.regionMatches(i + 1, "apos;", 0, 5)) { out.append('\''); i += 6 }
-      else if (s.regionMatches(i + 1, "nbsp;", 0, 5)) { out.append(' '); i += 6 }
-      else if (s.regionMatches(i + 1, "amp;", 0, 4)) { out.append('&'); i += 5 }
-      else { out.append(c); i += 1 }
+    while (i < len) {
+      val c = src(i)
+      if (c != '&') { dst(o) = c; o += 1; i += 1 }
+      else if (regionIs(src, len, i + 1, "lt;")) { dst(o) = '<'; o += 1; i += 4 }
+      else if (regionIs(src, len, i + 1, "gt;")) { dst(o) = '>'; o += 1; i += 4 }
+      else if (regionIs(src, len, i + 1, "quot;")) { dst(o) = '"'; o += 1; i += 6 }
+      else if (regionIs(src, len, i + 1, "apos;")) { dst(o) = '\''; o += 1; i += 6 }
+      else if (regionIs(src, len, i + 1, "nbsp;")) { dst(o) = ' '; o += 1; i += 6 }
+      else if (regionIs(src, len, i + 1, "amp;")) { dst(o) = '&'; o += 1; i += 5 }
+      else { dst(o) = c; o += 1; i += 1 }
     }
-    out.toString
+    o
   }
 
   /** One scan == the `&#(x[0-9a-fA-F]+|[0-9]+);` regex pass (lowercase
     * 'x' only, as in v1). Invalid code points -> U+FFFD. Digit strings
     * overflowing Int yield U+FFFD (v1 threw NumberFormatException --
     * the one deliberate divergence: decode must not crash on garbage). */
-  private def decodeNumericEntities(s: String): String = {
-    val n = s.length
-    if (s.indexOf("&#") < 0) return s
-    val out = new java.lang.StringBuilder(n)
+  private def decodeNumericEntitiesArr(src: Array[Char], len: Int, dst: Array[Char]): Int = {
+    var o = 0
     var i = 0
-    while (i < n) {
-      val c = s.charAt(i)
-      if (c != '&' || i + 1 >= n || s.charAt(i + 1) != '#') { out.append(c); i += 1 }
-      else {
-        var j = i + 2
-        val hexMode = j < n && s.charAt(j) == 'x'
+    while (i < len) {
+      val c = src(i)
+      if (c != '&' || i + 1 >= len || src(i + 1) != '#') {
+        dst(o) = c; o += 1; i += 1
+      } else {
+        val j = i + 2
+        val hexMode = j < len && src(j) == 'x'
         val digitsStart = if (hexMode) j + 1 else j
         var k = digitsStart
-        def isDig(ch: Char) = if (hexMode)
-          (ch >= '0' && ch <= '9') || (ch >= 'a' && ch <= 'f') || (ch >= 'A' && ch <= 'F')
-        else ch >= '0' && ch <= '9'
-        while (k < n && isDig(s.charAt(k))) k += 1
-        if (k > digitsStart && k < n && s.charAt(k) == ';') {
-          val numStr = s.substring(digitsStart, k)
-          val cp = try {
-            if (hexMode) Integer.parseInt(numStr, 16) else Integer.parseInt(numStr, 10)
-          } catch { case _: NumberFormatException => -1 }
-          if (cp >= 0 && Character.isValidCodePoint(cp)) out.appendCodePoint(cp)
-          else out.append('\uFFFD')
+        var cp = 0L
+        var overflow = false
+        var run = true
+        while (run && k < len) {
+          val ch = src(k)
+          val d =
+            if (ch >= '0' && ch <= '9') ch - '0'
+            else if (hexMode && ch >= 'a' && ch <= 'f') ch - 'a' + 10
+            else if (hexMode && ch >= 'A' && ch <= 'F') ch - 'A' + 10
+            else -1
+          if (d < 0) run = false
+          else {
+            cp = cp * (if (hexMode) 16 else 10) + d
+            if (cp > Int.MaxValue) { overflow = true; cp = 0 } // keep consuming digits
+            k += 1
+          }
+        }
+        if (k > digitsStart && k < len && src(k) == ';') {
+          val v = if (overflow) -1 else cp.toInt
+          if (v >= 0 && Character.isValidCodePoint(v)) {
+            if (v <= 0xFFFF) { dst(o) = v.toChar; o += 1 }
+            else {
+              dst(o) = Character.highSurrogate(v)
+              dst(o + 1) = Character.lowSurrogate(v)
+              o += 2
+            }
+          } else { dst(o) = '\uFFFD'; o += 1 }
           i = k + 1
-        } else { out.append(c); i += 1 }
+        } else { dst(o) = c; o += 1; i += 1 }
       }
     }
-    out.toString
+    o
   }
 
   /** One scan replacing hspace-regex + split + trim + filter + join.
-    * Policy: runs of [ \t\f\r] -> one space; lines trimmed with
+    * Policy: runs of [ \t\f\u000B\r] -> one space; lines trimmed with
     * String.trim semantics (strip chars <= 0x20 at both ends); empty
-    * lines dropped; '\n' joins; no trailing newline. */
-  private def normalizeWs(s: String): String = {
-    val n = s.length
-    val out = new java.lang.StringBuilder(n)
-    val line = new java.lang.StringBuilder(80)
+    * lines dropped; '\n' joins; no trailing newline. Uses a dedicated
+    * line buffer (trim must look at a whole line before committing). */
+  private def normalizeWsArr(src: Array[Char], len: Int, dst: Array[Char]): Int = {
+    var o = 0 // committed output length
+    val line = new Array[Char](len)
+    var ll = 0
     def isH(ch: Char) = ch == ' ' || ch == '\t' || ch == '\f' || ch == '\u000B' || ch == '\r'
     def flush(): Unit = {
-      // String.trim: drop leading/trailing chars <= ' '
       var a = 0
-      var b = line.length
-      while (a < b && line.charAt(a) <= ' ') a += 1
-      while (b > a && line.charAt(b - 1) <= ' ') b -= 1
+      var b = ll
+      while (a < b && line(a) <= ' ') a += 1
+      while (b > a && line(b - 1) <= ' ') b -= 1
       if (b > a) {
-        if (out.length > 0) out.append('\n')
-        out.append(line, a, b)
+        if (o > 0) { dst(o) = '\n'; o += 1 }
+        System.arraycopy(line, a, dst, o, b - a)
+        o += b - a
       }
-      line.setLength(0)
+      ll = 0
     }
     var i = 0
-    while (i < n) {
-      val c = s.charAt(i)
+    while (i < len) {
+      val c = src(i)
       if (c == '\n') { flush(); i += 1 }
       else if (isH(c)) {
-        line.append(' ')
+        line(ll) = ' '; ll += 1
         i += 1
-        while (i < n && isH(s.charAt(i))) i += 1
-      } else { line.append(c); i += 1 }
+        while (i < len && isH(src(i))) i += 1
+      } else { line(ll) = c; ll += 1; i += 1 }
     }
     flush()
-    out.toString
+    o
   }
 
   /** Outgoing links: ordered, de-duplicated href="..." / href='...' values.
