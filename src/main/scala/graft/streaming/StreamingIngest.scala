@@ -153,6 +153,79 @@ object StreamingIngest {
       }
   }
 
+  /** The same near-dup gate on Spark 4's transformWithState API:
+    * engine-managed state TTL (TTLConfig; PROCESSING-time based, unlike
+    * the event-time eviction above — the two policies suit different
+    * ingests: event-time TTL replays deterministically from a WARC
+    * backlog, processing-time TTL bounds state under arbitrary
+    * event-time skew). Requires the RocksDB state store provider.
+    * Admission semantics within a batch are identical to nearDupGate
+    * (first-seen-wins by the frozen tie-break) and spec-compared.
+    *
+    * Operational caveats (measured, Spark 4.1):
+    *  - run it with a REAL trigger interval. Processing-time timers make
+    *    the engine schedule a micro-batch after every batch, forever —
+    *    with the default 0 ms trigger that is a busy loop, and the
+    *    quiescence APIs (processAllAvailable, Trigger.AvailableNow)
+    *    never return because another timer batch is always due;
+    *  - under many concurrent RocksDB snapshot uploads,
+    *    spark.sql.streaming.checkpoint.fileChecksum.enabled=true (the
+    *    default) deadlocked its own I/O pool in local[4] testing —
+    *    disable it or enable RocksDB changelog checkpointing. */
+  def nearDupGateTws(
+      pages: Dataset[ExtractedPage],
+      n: Int = 3,
+      k: Int = 8,
+      ttl: java.time.Duration = java.time.Duration.ofHours(1)): Dataset[ExtractedPage] = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    import graft.ops.{DedupOps, TextOps}
+    val sigged = pages.toDF()
+      .withColumn("sig", concat_ws("|",
+        DedupOps.minhashSigFromShingles(
+          DedupOps.shingles(TextOps.tokens(col("text")), n), k)))
+      .select(col("sig"), col("warc_ts"),
+        struct(col("url"), col("site"), col("warc_ts"),
+          col("text"), col("lang"), col("links"), col("text_sha256"),
+          col("html_xxh64")).as("page"))
+      .as[SigPage]
+    sigged
+      .groupByKey(_.sig)
+      .transformWithState(new NearDupProcessor(ttl),
+        org.apache.spark.sql.streaming.TimeMode.ProcessingTime(),
+        OutputMode.Append())
+  }
+
+  /** StatefulProcessor for nearDupGateTws: one TTL'd ValueState marker
+    * per signature; the engine evicts it — no manual timer handling. */
+  final class NearDupProcessor(ttl: java.time.Duration)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, SigPage, ExtractedPage] {
+    @transient private var seen: org.apache.spark.sql.streaming.ValueState[Long] = _
+
+    override def init(
+        outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+      seen = getHandle.getValueState[Long]("seen",
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig(ttl))
+    }
+
+    override def handleInputRows(
+        key: String,
+        rows: Iterator[SigPage],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[ExtractedPage] = {
+      val rs = rows.toArray
+      val out =
+        if (seen.exists() || rs.isEmpty) Iterator.empty
+        else Iterator.single(rs
+          .minBy(sp => (sp.warc_ts.getTime, sp.page.html_xxh64, sp.page.url))
+          .page)
+      seen.update(1L) // refresh the TTL window on every sighting
+      out
+    }
+  }
+
   // ---------------------------------------------------- stateful operator
 
   final case class SiteCount(site: String, n_pages: Long)

@@ -192,6 +192,77 @@ class StreamingSpec extends SparkSpec {
     (urls should not).contain("u4")
   }
 
+  test("transformWithState near-dup gate admits the same pages (RocksDB TTL state)") {
+    import java.sql.Timestamp
+    import graft.model.ExtractedPage
+    implicit val sqlCtx = spark.sqlContext
+    val prevProvider = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // Spark 4.1's ChecksumCheckpointFileManager deadlocks its own I/O
+    // pool when several tasks close RocksDB snapshot zips concurrently
+    // under local[4] (observed via jstack: every task parked in
+    // awaitResult inside zipToDfsFile) — turn the checksum layer off
+    // for this query
+    val prevChecksum = spark.conf.getOption(
+      "spark.sql.streaming.checkpoint.fileChecksum.enabled")
+    spark.conf.set("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
+    // cheap per-batch commits (no snapshot zip per batch per partition)
+    spark.conf.set(
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+      "true")
+    try {
+      val mem = MemoryStream[ExtractedPage]
+      val out = StreamingIngest.nearDupGateTws(mem.toDS(), n = 3, k = 8,
+        ttl = java.time.Duration.ofHours(2))
+      val ckpt = Files.createTempDirectory("graft-tws-ckpt").toString
+      // interval trigger + deadline-poll: a processing-time-TTL query
+      // schedules timer micro-batches forever, so neither
+      // processAllAvailable nor Trigger.AvailableNow ever quiesces
+      // (see nearDupGateTws scaladoc)
+      val q = out.writeStream.format("memory").queryName("neardup_tws")
+        .outputMode(OutputMode.Append())
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.ProcessingTime("200 milliseconds"))
+        .start()
+      def awaitRows(want: Long): Unit = {
+        val deadline = System.nanoTime() + 90L * 1000 * 1000 * 1000
+        while (spark.table("neardup_tws").count() < want &&
+          System.nanoTime() < deadline) Thread.sleep(200)
+      }
+      val textA = "the quick brown fox jumps over the lazy dog again and again"
+      val textB = "a completely different document about spark catalyst plans"
+      def page(url: String, ts: Long, text: String, xxh: Long = 0L) =
+        ExtractedPage(url, "s", new Timestamp(ts), text, "en", Nil, "sha", xxh)
+      val m = 60L * 1000L
+      mem.addData(page("u2", 60 * m, textA, xxh = 9L),
+        page("u1", 60 * m, textA, xxh = 3L),
+        page("u3", 61 * m, textB))
+      awaitRows(2)
+      // identical admission to the event-time gate: u1 by tie-break + u3
+      spark.table("neardup_tws").collect().map(_.getString(0)).toSet shouldBe
+        Set("u1", "u3")
+      mem.addData(page("u4", 65 * m, textA)) // within TTL → suppressed
+      Thread.sleep(3000) // several trigger cycles for the would-be dup
+      spark.table("neardup_tws").count() shouldBe 2L
+      q.stop()
+    } finally {
+      prevProvider match {
+        case Some(p) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+      prevChecksum match {
+        case Some(p) =>
+          spark.conf.set("spark.sql.streaming.checkpoint.fileChecksum.enabled", p)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.checkpoint.fileChecksum.enabled")
+      }
+    }
+  }
+
   test("mapGroupsWithState site counter matches batch aggregation") {
     val ex = graft.extract.Extract.run(Synth.pages(spark, cfg))
     implicit val sqlCtx = spark.sqlContext
