@@ -72,23 +72,22 @@ object Enrich {
     * child sample: a real-web head node (10⁷-page site, 10⁵-in-degree
     * hub) must not materialize all children in ONE buffer. The capped
     * set is the lexicographically SMALLEST `cap` values — deterministic,
-    * and computable with bounded buffers by a two-phase (salted partial →
-    * merge) aggregation: the global smallest-cap set is a subset of the
-    * union of each salt's smallest-cap set. */
+    * and computed by the bounded top-K aggregate
+    * [[graft.functions.TopKSorted]], whose buffer evicts the largest
+    * element on insert: no partial, merge, or spilled buffer ever holds
+    * more than `cap` elements regardless of group size (the bound is
+    * structural, not a post-aggregation slice). */
   val ContextCap = 128
-  private val Salts = 16
 
-  /** Smallest-`cap` sorted distinct `valueCol` per `key`, two-phase so no
-    * aggregation buffer ever holds more than `cap` (partial) or
-    * Salts×`cap` (merge) elements. `saltCol` spreads the partial phase. */
+  /** Smallest-`cap` sorted distinct `valueCol` per `key`, with a
+    * structurally bounded aggregation buffer (TopKSorted — spec'd against
+    * the slice(array_sort(collect_set)) shape and peak-asserted). */
   private def cappedSortedSet(
-      df: DataFrame, key: String, valueCol: String, saltCol: Column,
+      df: DataFrame, key: String, valueCol: String,
       cap: Int, outName: String): DataFrame =
-    df.groupBy(col(key), pmod(xxhash64(saltCol), lit(Salts.toLong)).as("_s"))
-      .agg(slice(array_sort(collect_set(col(valueCol))), 1, cap).as("_p"))
-      .groupBy(col(key))
-      .agg(slice(array_sort(array_distinct(flatten(collect_list(col("_p"))))),
-        1, cap).as(outName))
+    df.groupBy(col(key))
+      .agg(graft.functions.TopKSorted
+        .topk_sorted(col(valueCol), cap, distinct = true).as(outName))
 
   def contextSummaries(
       linksTo: DataFrame,
@@ -100,7 +99,7 @@ object Enrich {
     val in = linksTo.select(col("obj").as("url"), col("subj").as("nbr"))
     val joined = out.union(in)
       .join(lookup.select(col("url").as("nbr"), col("summary")), Seq("nbr"))
-    val nbrs = cappedSortedSet(joined, "url", "summary", col("nbr"),
+    val nbrs = cappedSortedSet(joined, "url", "summary",
       cap, "neighborSummaries")
     pageSums.select(col("url"), col("summary"))
       .join(nbrs, Seq("url"), "left")
@@ -126,10 +125,10 @@ object Enrich {
     * summaries + the exact child count, processed deepest-first in a
     * driver loop over depth — the Spark shape of the reference's
     * group-by-depth folder pass (code_graph_rag_generator.py:392-423).
-    * Each level aggregates in TWO phases (salted partial → merge) so no
-    * buffer holds more than RollupCap (partial) / Salts×RollupCap
-    * (merge) summaries regardless of a node's child count. Returns
-    * (node, depth, summary). */
+    * Each level's sample aggregates with the bounded top-K buffer
+    * (TopKSorted): no buffer holds more than RollupCap summaries
+    * regardless of a node's child count — structurally, in the partial,
+    * merge, AND spill paths. Returns (node, depth, summary). */
   def hierarchyRollup(
       leaves: DataFrame, // (node, parent, summary); parent = an internal node
       internal: DataFrame, // (node, parent, depth) internal nodes; root parent = null
@@ -147,15 +146,11 @@ object Enrich {
     (maxDepth to 0 by -1).foreach { d =>
       val level = internal.filter(col("depth") === d)
         .select(col("node").as("lnode"), col("parent").as("lparent"))
-      val partial = acc.join(level, acc("parent") === level("lnode"))
-        .groupBy(col("lnode"), col("lparent"),
-          pmod(xxhash64(acc("node")), lit(Salts.toLong)).as("_s"))
-        .agg(slice(array_sort(collect_list(col("summary"))), 1, cap).as("_p"),
-          count(lit(1)).as("_n"))
-      val rolled = partial.groupBy(col("lnode"), col("lparent"))
-        .agg(slice(array_sort(flatten(collect_list(col("_p")))), 1, cap)
-          .as("sample"),
-          sum(col("_n")).as("total"))
+      val rolled = acc.join(level, acc("parent") === level("lnode"))
+        .groupBy(col("lnode"), col("lparent"))
+        .agg(graft.functions.TopKSorted
+          .topk_sorted(col("summary"), cap, distinct = false).as("sample"),
+          count(lit(1)).as("total"))
         .select(col("lnode").as("node"), col("lparent").as("parent"),
           sumUdf(col("sample"), col("total")).as("summary"))
       out = out :+ rolled.withColumn("depth", lit(d))

@@ -1,0 +1,88 @@
+package graft.functions
+
+import graft.SparkSpec
+import graft.functions.TopKSorted.topk_sorted
+import org.apache.spark.sql.functions._
+
+/** The bounded top-K aggregate must agree value-for-value with the
+  * slice-after-collect declarative shapes it replaced in Enrich, AND its
+  * buffer bound must hold structurally (peak map size ≤ k) even on a
+  * head group orders of magnitude larger than the cap. */
+class TopKSortedSpec extends SparkSpec {
+  import spark.implicits._
+
+  // deterministic skewed corpus: one head key with 5000 values, many
+  // small groups, duplicate values within groups, some nulls
+  private def corpus = {
+    val rows = (0 until 5000).map(i => ("head", f"v${(i * 37) % 900}%04d")) ++
+      (0 until 400).flatMap(g => (0 until (g % 7)).map(j =>
+        (s"g$g", f"v${(j * 13 + g) % 50}%04d"))) ++
+      Seq(("head", null), ("g1", null))
+    rows.toDF("key", "value")
+  }
+
+  test("distinct mode equals slice(array_sort(collect_set), 1, k) on every group") {
+    for (k <- Seq(1, 7, 64)) {
+      val got = corpus.groupBy($"key")
+        .agg(topk_sorted($"value", k, distinct = true).as("t"))
+      val want = corpus.groupBy($"key")
+        .agg(slice(array_sort(collect_set($"value")), 1, k).as("t"))
+      got.join(want.withColumnRenamed("t", "w"), Seq("key"))
+        .filter(!($"t" <=> $"w")).count() shouldBe 0L
+    }
+  }
+
+  test("multiset mode equals slice(array_sort(collect_list), 1, k) on every group") {
+    for (k <- Seq(1, 7, 64)) {
+      val got = corpus.groupBy($"key")
+        .agg(topk_sorted($"value", k, distinct = false).as("t"))
+      val want = corpus.groupBy($"key")
+        .agg(slice(array_sort(collect_list($"value")), 1, k).as("t"))
+      got.join(want.withColumnRenamed("t", "w"), Seq("key"))
+        .filter(!($"t" <=> $"w")).count() shouldBe 0L
+    }
+  }
+
+  test("parallelism-invariant: same result at 1 and 13 partitions") {
+    val a = corpus.repartition(1).groupBy($"key")
+      .agg(topk_sorted($"value", 16, distinct = false).as("t"))
+      .orderBy("key").collect().map(_.toSeq).toSeq
+    val b = corpus.repartition(13).groupBy($"key")
+      .agg(topk_sorted($"value", 16, distinct = false).as("t"))
+      .orderBy("key").collect().map(_.toSeq).toSeq
+    a shouldBe b
+  }
+
+  test("structural bound: 10^6-child head group never holds more than cap elements in any buffer") {
+    val cap = 64
+    // one head parent with a million distinct child summaries — the
+    // scenario the slice-after-collect shape buffered whole (multi-GB at
+    // real summary sizes). Values descend so naive insertion would keep
+    // growing without eviction-on-insert.
+    val big = spark.range(1000000L).select(
+      lit("head").as("key"),
+      format_string("s%07d", lit(999999L) - col("id")).as("value"))
+    TopKSorted.resetPeak()
+    TopKSorted.peakTracking = true
+    try {
+      val r = big.groupBy($"key")
+        .agg(topk_sorted($"value", cap, distinct = true).as("t"))
+        .head().getSeq[String](1)
+      r shouldBe (0 until cap).map(i => f"s$i%07d")
+      TopKSorted.observedPeak should be <= cap + 1 // transient pre-trim insert
+      TopKSorted.observedPeak should be >= cap
+    } finally TopKSorted.peakTracking = false
+  }
+
+  test("serialize/deserialize round-trips the bounded buffer (spill path)") {
+    val agg = TopKSorted(
+      org.apache.spark.sql.graftbridge.ColumnBridge.expression(lit("x")),
+      4, distinct = false)
+    val b = agg.createAggregationBuffer()
+    Seq("d", "b", "c", "a", "b", "e").foreach(s =>
+      b.insert(org.apache.spark.unsafe.types.UTF8String.fromString(s), 1L))
+    val back = agg.deserialize(agg.serialize(b))
+    agg.eval(back) shouldBe agg.eval(b)
+    back.total shouldBe 4L
+  }
+}
