@@ -163,10 +163,12 @@ object Incremental {
     // front and re-stamps them only on completion, so any missing
     // manifest means a previous run died mid-update and the derived
     // tables may be part-old/part-new. The change short-circuits below
-    // compare against that mixed pre-state, so they are all DISABLED
-    // (force = rebuild every derived table over full scope; extraction
-    // itself is still diff-scoped — the urlhash stage is rewritten LAST,
-    // so the diff base survives any crash point before it).
+    // compare against that mixed pre-state, so they are all DISABLED and
+    // EVERY table — extraction included — rebuilds over full scope from
+    // the new snapshot (the urlhash stage is rewritten LAST, so the diff
+    // base survives any crash point before it, but the crashed run's
+    // partial extracted overwrites need not be dirty vs THIS run's
+    // snapshot, hence the full extraction scope).
     val stageVersions = Seq(
       "urlhash" -> "diff-v1", "extracted" -> Extract.StageVersion,
       "candidates" -> "mention-v1", "aliasdf" -> "link-v1",
@@ -174,18 +176,37 @@ object Incremental {
       "triples" -> Pipeline.EmitVersion, "nodes" -> Pipeline.EmitVersion,
       "adjacency" -> Pipeline.EmitVersion,
       "enriched" -> Pipeline.EnrichVersion)
+    // version guard (mirrors Snapshot.stage's (snapshotId, version)
+    // match): a manifest committed under a DIFFERENT stage version means
+    // the stored table carries old semantics or an old schema — an
+    // in-place update would treat it as valid pre-state and then
+    // re-stamp it with the new version string, silently corrupting the
+    // store (e.g. an extracted table without html_xxh64, or a flat
+    // site→url contains layout kept because the url set is unchanged).
+    val mismatched = stageVersions.flatMap { case (s, v) =>
+      Snapshot.readManifest(s"$outDir/$s").collect {
+        case m if m.version != v => s"$s (committed ${m.version}, expected $v)"
+      }
+    }
+    if (mismatched.nonEmpty) throw new IllegalStateException(
+      s"$outDir was committed under different stage versions than this " +
+        s"updater expects: ${mismatched.mkString(", ")}. Old-version " +
+        "tables may carry old schemas/semantics that an in-place update " +
+        "would silently bake in — run a full Pipeline.build.")
     val force = stageVersions
       .exists { case (s, _) => Snapshot.readManifest(s"$outDir/$s").isEmpty }
-    if (dirtyActual.isEmpty) {
-      if (force) throw new IllegalStateException(
-        s"$outDir has missing stage manifests (a previous update crashed) " +
-          "but the snapshot diff is empty — the derived tables cannot be " +
-          "reconciled from this input. Re-run the update that crashed " +
-          "(same new snapshot), or run a full Pipeline.build.")
-      return dirtyActual
-    }
+    if (dirtyActual.isEmpty && !force) return dirtyActual
     val allBuckets: Seq[Long] = (0L until nBuckets.toLong).toSeq
-    val dirty = dirtyActual
+    // crash recovery must widen the EXTRACTION/overwrite scope too, not
+    // just the derived rebuilds: the crashed run may have overwritten
+    // buckets with its snapshot's extracted rows that are NOT dirty
+    // versus this run's snapshot (url reverted, or a rerun against a
+    // different snapshot) — a diff-scoped rewrite would bake that
+    // residue into every globally rebuilt derived table and the final
+    // urlhash stamp would hide it forever. Full scope from newPages
+    // reconciles any crash point against ANY new snapshot (this also
+    // makes the empty-diff crash rerun a real recovery, not an error).
+    val dirty = if (force) allBuckets else dirtyActual
 
     // urls whose EXISTENCE changed (drives links_to/contains scoping) and
     // urls touched in any way (drives the enriched neighbor scope)
@@ -207,14 +228,23 @@ object Incremental {
     val enrichedDir = s"$outDir/enriched/data"
 
     // snapshots of pre-update state this update still needs (collected /
-    // eager — all dictionary- or bucket-count-sized)
-    val oldDfMap = collectGlobalAliasDf(spark, adfDir)
-    val oldLinksNbrBuckets = nbrBucketsOf(
-      readPred(spark, triplesDir, "links_to").select(col("subj"), col("obj")),
-      touchedUrls, nBuckets)
-    val oldCanonCk = checksumOf(
-      spark.read.parquet(s"$outDir/canon/data"),
-      Seq("entity_id", "canon_id"))
+    // eager — all dictionary- or bucket-count-sized). Under force every
+    // change short-circuit is disabled AND the pre-state may be partial
+    // or even missing (the crash could have struck mid-overwrite), so
+    // none of these are read then.
+    val zeroCk = (0L, 0L)
+    val oldDfMap =
+      if (force) Map.empty[String, Long] else collectGlobalAliasDf(spark, adfDir)
+    val oldLinksNbrBuckets =
+      if (force) Nil
+      else nbrBucketsOf(
+        readPred(spark, triplesDir, "links_to").select(col("subj"), col("obj")),
+        touchedUrls, nBuckets)
+    val oldCanonCk =
+      if (force) zeroCk
+      else checksumOf(
+        spark.read.parquet(s"$outDir/canon/data"),
+        Seq("entity_id", "canon_id"))
 
     val candDir = s"$outDir/candidates/data"
     val candValueCols =
@@ -230,17 +260,21 @@ object Incremental {
     // table below is rebuilt ONLY if its actual inputs changed, so e.g.
     // a body-text edit that leaves mentions and links alone touches
     // nothing but extracted/nodes/enriched
-    val preCandCk = candCk(
-      spark.read.schema(candSchema).parquet(candDir)
-        .filter(col("bucket").isin(dirty: _*)))
-    val preLinksArrCk = linksArrCk(dirty)
+    val preCandCk =
+      if (force) zeroCk
+      else candCk(
+        spark.read.schema(candSchema).parquet(candDir)
+          .filter(col("bucket").isin(dirty: _*)))
+    val preLinksArrCk = if (force) zeroCk else linksArrCk(dirty)
     // node-table props per dirty-bucket page (extraction only changes in
     // dirty buckets, so the dirty-scope checksum decides whether any PAGE
     // node row moved)
     val nodePropCols = Seq("url", "lang", "text_sha256")
-    val preNodePropsCk = checksumOf(
-      spark.read.parquet(exDir).filter(col("bucket").isin(dirty: _*)),
-      nodePropCols)
+    val preNodePropsCk =
+      if (force) zeroCk
+      else checksumOf(
+        spark.read.parquet(exDir).filter(col("bucket").isin(dirty: _*)),
+        nodePropCols)
 
     // ---- extracted: rebuild the FULL dirty buckets from the new
     // snapshot; a bucket is the overwrite unit, and one left with zero
@@ -306,10 +340,12 @@ object Incremental {
     val linkedChanged =
       if (!candidatesChanged) false
       else {
-        val preLinkedCk = checksumOf(
-          spark.read.schema(linkedSchema)
-            .parquet(s"$outDir/linked/data")
-            .filter(col("bucket").isin(relink: _*)), linkedCols)
+        val preLinkedCk =
+          if (force) zeroCk // pre-state may be partial or missing
+          else checksumOf(
+            spark.read.schema(linkedSchema)
+              .parquet(s"$outDir/linked/data")
+              .filter(col("bucket").isin(relink: _*)), linkedCols)
         val candsRelink = spark.read.schema(candSchema).parquet(candDir)
           .filter(col("bucket").isin(relink: _*))
           .drop("bucket").as[CandidateRow]
@@ -459,12 +495,17 @@ object Incremental {
         .filter(col("label") === Label.Page)
         .select(col("node_id"), col("summary")),
       Seq("node_id", "summary"))
-    val preLeafCk = leafCk()
+    val preLeafCk = if (force) zeroCk else leafCk()
     val scopeSums = graft.enrich.Enrich.pageSummaries(readExtracted(enrScope))
-    val cleanSums = spark.read.parquet(enrichedDir)
-      .filter(col("label") === Label.Page &&
-        !col("bucket").isin(enrScope: _*))
-      .select(col("node_id").as("url"), col("summary"))
+    // under force the scope is every bucket, so there are no clean rows
+    // to reuse — and the stored table may be partial/missing anyway
+    val cleanSums =
+      if (force)
+        scopeSums.select(col("url"), col("summary")).limit(0)
+      else spark.read.parquet(enrichedDir)
+        .filter(col("label") === Label.Page &&
+          !col("bucket").isin(enrScope: _*))
+        .select(col("node_id").as("url"), col("summary"))
     val allSums = scopeSums.select(col("url"), col("summary")).union(cleanSums)
     overwriteBuckets(spark,
       graft.enrich.Enrich.pageNodeRows(scopeSums, linksToNew, Some(allSums))

@@ -351,21 +351,85 @@ class IncrementalSpec extends SparkSpec {
       .filter(col("label") === "ENTITY").count() should be < canonIds
   }
 
-  test("crashed update + empty diff: refuse instead of silently 'nothing to do'") {
+  test("crashed update + empty diff: force-mode rebuilds full scope instead of 'nothing to do'") {
     val incDir = Files.createTempDirectory("graft-crash-empty").toString
     Pipeline.build(spark, oldPages, Synth.aliases(spark, cfg),
       Synth.sameAs(spark, cfg), cfg.nPages, incDir, "snap-old", N)
     // simulate a prior update that died mid-way: its first act is
-    // invalidating every stage manifest
+    // invalidating every stage manifest; forge mixed derived state too
     graft.meta.Snapshot.invalidate(s"$incDir/linked")
-    // a same-snapshot update now sees an empty diff — the derived state
-    // is unverifiable, so this must throw, not return "nothing to do"
+    deleteTree(java.nio.file.Paths.get(s"$incDir/linked/data"))
+    // a same-snapshot update sees an empty diff, but the missing
+    // manifest forces a full-scope rebuild that reconciles everything
+    val dirty = Incremental.updateFromStored(spark, oldPages,
+      Synth.aliases(spark, cfg), Synth.sameAs(spark, cfg), cfg.nPages,
+      incDir, "snap-new", N)
+    dirty should not be empty // full scope, not "nothing to do"
+    val fullDir = Files.createTempDirectory("graft-crash-empty-full").toString
+    Pipeline.build(spark, oldPages, Synth.aliases(spark, cfg),
+      Synth.sameAs(spark, cfg), cfg.nPages, fullDir, "snap-new", N)
+    spark.read.parquet(s"$incDir/triples/data")
+      .select("subj", "pred", "obj").collect().map(_.toSeq).toSet shouldBe
+      spark.read.parquet(s"$fullDir/triples/data")
+        .select("subj", "pred", "obj").collect().map(_.toSeq).toSet
+    graft.meta.Snapshot.readManifest(s"$incDir/linked")
+      .get.snapshotId shouldBe "snap-new"
+  }
+
+  test("crashed update rerun against a DIFFERENT snapshot: extraction scope widens too") {
+    // the silent-divergence hole: a crashed update to snapshot A leaves
+    // some buckets holding A's extracted rows; a rerun against snapshot
+    // B sets force, but if extraction stayed diff(old, B)-scoped, the
+    // buckets where B == old keep A's residue and every globally rebuilt
+    // derived table bakes it in permanently. Force must widen extraction
+    // to all buckets.
+    val incDir = Files.createTempDirectory("graft-crash-b").toString
+    Pipeline.build(spark, oldPages, Synth.aliases(spark, cfg),
+      Synth.sameAs(spark, cfg), cfg.nPages, incDir, "snap-old", N)
+    // crashed update to snapshot A (= newPages): forge its partial state
+    // — A's extraction fully written, manifests invalidated, urlhash
+    // still old (it is written last)
+    val aExtracted = graft.extract.Extract.run(newPages).toDF()
+      .withColumn("bucket", Pipeline.bucketOf(col("url"), N))
+    aExtracted.repartition(col("bucket")).write
+      .mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("bucket").parquet(s"$incDir/extracted/data")
+    Seq("urlhash", "extracted", "candidates", "aliasdf", "linked", "canon",
+      "triples", "nodes", "adjacency", "enriched")
+      .foreach(s => graft.meta.Snapshot.invalidate(s"$incDir/$s"))
+    // rerun against snapshot B = the ORIGINAL corpus (url set identical
+    // to the stored urlhash base → diff is empty; A's residue is in
+    // buckets the diff would never touch)
+    Incremental.updateFromStored(spark, oldPages,
+      Synth.aliases(spark, cfg), Synth.sameAs(spark, cfg), cfg.nPages,
+      incDir, "snap-b", N)
+    val fullDir = Files.createTempDirectory("graft-crash-b-full").toString
+    Pipeline.build(spark, oldPages, Synth.aliases(spark, cfg),
+      Synth.sameAs(spark, cfg), cfg.nPages, fullDir, "snap-b", N)
+    def tset(dir: String) = spark.read.parquet(s"$dir/triples/data")
+      .select("subj", "pred", "obj").collect().map(_.toSeq).toSet
+    tset(incDir) shouldBe tset(fullDir)
+    // the extracted store holds B's rows, not A's residue
+    spark.read.parquet(s"$incDir/extracted/data")
+      .select("url", "text_sha256").collect().map(_.toSeq).toSet shouldBe
+      spark.read.parquet(s"$fullDir/extracted/data")
+        .select("url", "text_sha256").collect().map(_.toSeq).toSet
+  }
+
+  test("version-mismatched store: refuse the in-place update, demand a full build") {
+    val incDir = Files.createTempDirectory("graft-verm").toString
+    Pipeline.build(spark, oldPages, Synth.aliases(spark, cfg),
+      Synth.sameAs(spark, cfg), cfg.nPages, incDir, "snap-old", N)
+    // forge a store committed by an OLDER engine: same snapshot id,
+    // different stage version string
+    graft.meta.Snapshot.stamp(spark, incDir, "triples", "snap-old", "emit-v1")
     val e = intercept[IllegalStateException] {
-      Incremental.updateFromStored(spark, oldPages,
+      Incremental.update(spark, oldPages, newPages,
         Synth.aliases(spark, cfg), Synth.sameAs(spark, cfg), cfg.nPages,
         incDir, "snap-new", N)
     }
-    e.getMessage should include("crashed")
+    e.getMessage should include("emit-v1")
+    e.getMessage should include("full Pipeline.build")
   }
 
   test("crashed update rerun: force-mode converges despite mixed derived state") {
