@@ -309,7 +309,11 @@ object SparkEntry {
     }),
     // ---- A3/A11 arbitrary-depth ancestor chain over a synthetic
     // variable-depth path column (the FOLDER-analog derivation, oracled
-    // directly against an independent SQL prefix expansion) ----
+    // directly against an independent SQL prefix expansion). A fifth of
+    // the urls carry a query string / fragment WITH embedded slashes —
+    // binding the frozen messy-url policy (strip from the first ?/#
+    // before prefix derivation) on both engines: without the strip,
+    // "doc5?q=1" would become a SECTION-level prefix. ----
     "q35_path_ancestors" -> ((s, d) => {
       val doc = col("doc_id")
       val url = concat(lit("https://"), col("source"), lit(".example/"),
@@ -317,7 +321,10 @@ object SparkEntry {
         when(doc % 3 === 1, concat(lit("/d"), doc % 7))
           .when(doc % 3 === 2, concat(lit("/d"), doc % 7, lit("/e"), doc % 2))
           .otherwise(lit("")),
-        lit("/doc"), doc)
+        lit("/doc"), doc,
+        when(doc % 5 === 0, lit("?q=1/x"))
+          .when(doc % 5 === 3, lit("#f/y"))
+          .otherwise(lit("")))
       rd(s, d, "documents").select(doc, url.as("url"))
         .select(doc, explode(graft.emit.Hierarchy.prefixesOf(col("url")))
           .as("anc"))
@@ -436,9 +443,11 @@ object SparkEntry {
        |pref AS (
        |  SELECT url, CASE WHEN len(s) <= 1 THEN [p]
        |    ELSE [array_to_string(s[1:k], '/') for k in range(1, len(s))] END AS ps
-       |  FROM (SELECT url, regexp_replace(url, '$scheme', '') p,
-       |          string_split(regexp_replace(url, '$scheme', ''), '/') s
-       |        FROM ex)),
+       |  FROM (SELECT url, p, string_split(p, '/') s
+       |        FROM (SELECT url, regexp_replace(
+       |                regexp_replace(url, '$scheme', ''),
+       |                '(?s)[?#].*', '') p
+       |              FROM ex))),
        |contains_t AS (
        |  SELECT DISTINCT x.a AS subj, x.b AS obj
        |  FROM (SELECT list_prepend('graft:root', ps) anc FROM pref) t,
@@ -474,15 +483,21 @@ object SparkEntry {
         |    'https://' || source || '.example/' || lang ||
         |    CASE WHEN doc_id % 3 = 1 THEN '/d' || (doc_id % 7)
         |         WHEN doc_id % 3 = 2 THEN '/d' || (doc_id % 7) || '/e' || (doc_id % 2)
-        |         ELSE '' END || '/doc' || doc_id AS url
+        |         ELSE '' END || '/doc' || doc_id ||
+        |    CASE WHEN doc_id % 5 = 0 THEN '?q=1/x'
+        |         WHEN doc_id % 5 = 3 THEN '#f/y'
+        |         ELSE '' END AS url
         |  FROM documents),
+        |paths AS (
+        |  SELECT doc_id,
+        |    regexp_replace(regexp_replace(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://', ''),
+        |      '(?s)[?#].*', '') AS p
+        |  FROM urls),
         |pref AS (
         |  SELECT doc_id, unnest(
         |    CASE WHEN len(s) <= 1 THEN [p]
         |      ELSE [array_to_string(s[1:k], '/') for k in range(1, len(s))] END) AS anc
-        |  FROM (SELECT doc_id, regexp_replace(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://', '') p,
-        |          string_split(regexp_replace(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://', ''), '/') s
-        |        FROM urls))
+        |  FROM (SELECT doc_id, p, string_split(p, '/') s FROM paths))
         |SELECT anc, count(DISTINCT doc_id) AS n_docs FROM pref
         |GROUP BY anc ORDER BY anc""".stripMargin,
     "q32_ann_ivf" -> q32OracleSql,

@@ -21,9 +21,18 @@ import org.apache.spark.sql.functions._
 object Hierarchy {
 
   private val SchemeRe = "^[a-zA-Z][a-zA-Z0-9+.-]*://"
+  /** FROZEN messy-url policy: the query string and fragment are NOT path
+    * segments — `https://h/p?x=1/2` must not mint a SECTION node
+    * `h/p?x=1`. Real-web corpora carry `?`/`#` on a large fraction of
+    * urls; keeping them would explode the SECTION space with
+    * per-query-string nodes and pollute the roll-up. `(?s)` so a
+    * (pathological) newline after `?` cannot resurrect a suffix. */
+  private val QueryFragRe = "(?s)[?#].*"
 
-  /** url with its scheme stripped (the path key space). */
-  def pathOf(url: Column): Column = regexp_replace(url, SchemeRe, "")
+  /** url with its scheme, query string and fragment stripped (the path
+    * key space). */
+  def pathOf(url: Column): Column =
+    regexp_replace(regexp_replace(url, SchemeRe, ""), QueryFragRe, "")
 
   /** Ancestor prefixes of a url, shallowest first: [host, host/s1, ...,
     * deepest-dir]. The final path segment is the page's own leaf name and

@@ -29,15 +29,14 @@ object Extract {
       .as[PageRow]
   }
 
-  private val siteRe = "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/]+)".r
-
   /** Host part of a url — the hierarchy's depth-1 node (≙ root folder,
-    * clangd_symbol_nodes_builder.py:416-424). The schemeless fallback
-    * takes everything before the first '/' so site(url) always equals
-    * Hierarchy.prefixesOf(url)(0). */
+    * clangd_symbol_nodes_builder.py:416-424). Shares the native
+    * expression's EXACT scheme-strip + query/fragment-drop logic
+    * (PathPrefixes.pathPart) so site(url) always equals
+    * Hierarchy.prefixesOf(url)(0) — including messy urls
+    * (`https://h?x=1` → "h") and non-ASCII pseudo-schemes. */
   def site(url: String): String =
-    siteRe.findFirstMatchIn(url).map(_.group(1))
-      .getOrElse(url.takeWhile(_ != '/'))
+    graft.functions.PathPrefixes.pathPart(url).takeWhile(_ != '/')
 
   /** Pure per-row extraction — a typed Dataset.map over a deterministic
     * Scala function; never a SQL UDF, never `asNondeterministic`.

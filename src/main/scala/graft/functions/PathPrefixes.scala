@@ -10,10 +10,13 @@ import org.apache.spark.unsafe.types.UTF8String
 /** Native ancestor-prefix derivation for the url-path hierarchy,
   * value-identical to the declarative shape in
   * [[graft.emit.Hierarchy.prefixesOfSql]] (spec-pinned): strip the
-  * scheme (`^[a-zA-Z][a-zA-Z0-9+.-]*://`), split the remainder on '/'
-  * (trailing empties kept, as Spark's split does), and emit the joined
-  * prefixes of lengths 1..n-1 shallowest-first — or the whole path as a
-  * single prefix when it has ≤ 1 segment.
+  * scheme (`^[a-zA-Z][a-zA-Z0-9+.-]*://`, ASCII letters only), drop the
+  * query string / fragment (everything from the first '?' or '#' —
+  * FROZEN messy-url policy: `https://h/p?x=1/2` contributes no
+  * per-query-string SECTION node; see Hierarchy), split the remainder
+  * on '/' (trailing empties kept, as Spark's split does), and emit the
+  * joined prefixes of lengths 1..n-1 shallowest-first — or the whole
+  * path as a single prefix when it has ≤ 1 segment.
   *
   * One string scan instead of a regexp_replace + split + interpreted
   * transform/slice/array_join tree per row — this runs per url in the
@@ -36,7 +39,7 @@ case class PathPrefixes(child: Expression)
 
   override def nullSafeEval(input: Any): Any = {
     val url = input.asInstanceOf[UTF8String].toString
-    val path = PathPrefixes.stripScheme(url)
+    val path = PathPrefixes.pathPart(url)
     // split points = '/' positions; prefixes end just before each one
     val slashes = new scala.collection.mutable.ArrayBuffer[Int]()
     var i = 0
@@ -68,18 +71,35 @@ object PathPrefixes {
   import org.apache.spark.sql.graftbridge.ColumnBridge
 
   /** `^[a-zA-Z][a-zA-Z0-9+.-]*://` removed if present — same acceptance
-    * as the Hierarchy scheme regex. */
-  private[functions] def stripScheme(url: String): String = {
+    * as the Hierarchy scheme regex, including the ASCII-only first
+    * letter (Character.isLetter would also strip `é://x`, which the
+    * regex shapes and the DuckDB oracles do not). */
+  private[graft] def stripScheme(url: String): String = {
+    def asciiLetter(c: Char): Boolean =
+      (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')
     def schemeChar(c: Char): Boolean =
-      (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
-        (c >= '0' && c <= '9') || c == '+' || c == '.' || c == '-'
-    if (url.isEmpty || !Character.isLetter(url.charAt(0))) return url
+      asciiLetter(c) || (c >= '0' && c <= '9') || c == '+' || c == '.' || c == '-'
+    if (url.isEmpty || !asciiLetter(url.charAt(0))) return url
     var i = 1
     while (i < url.length && schemeChar(url.charAt(i))) i += 1
     if (i + 2 < url.length && url.charAt(i) == ':' &&
       url.charAt(i + 1) == '/' && url.charAt(i + 2) == '/')
       url.substring(i + 3)
     else url
+  }
+
+  /** Scheme stripped AND query/fragment dropped: the path key space of
+    * the hierarchy (frozen policy, shared with Extract.site and the
+    * DuckDB oracle SQL). */
+  private[graft] def pathPart(url: String): String = {
+    val p = stripScheme(url)
+    var i = 0
+    while (i < p.length) {
+      val c = p.charAt(i)
+      if (c == '?' || c == '#') return p.substring(0, i)
+      i += 1
+    }
+    p
   }
 
   /** Column-API entry point. */

@@ -29,11 +29,12 @@ object Pipeline {
     * per-page cap — outputs committed under emit-v1 must NOT be resumed
     * into (mixed partition trees / stale semantics), so the version
     * string changed with them. */
-  val EmitVersion = "emit-v2"
-  /** v2: hierarchy roll-up is arbitrary-depth with a bounded child
-    * sample (capped first-K + exact count) instead of site-only with an
-    * unbounded collect_list. */
-  val EnrichVersion = "enrich-v2"
+  val EmitVersion = "emit-v3"
+  /** v3 (both): the url-path hierarchy froze its messy-url policy —
+    * query strings and fragments are dropped before prefix derivation
+    * (Hierarchy.QueryFragRe), so stores committed under v2 may hold
+    * SECTION nodes / roll-up parents that v3 never emits. */
+  val EnrichVersion = "enrich-v3"
 
   final case class Graph(
       extracted: Dataset[ExtractedPage],

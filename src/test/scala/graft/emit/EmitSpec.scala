@@ -23,7 +23,15 @@ class EmitSpec extends SparkSpec {
       "weird+s-c.heme://h/p/q",
       "ftp:/notascheme/a",
       "https://h//double//slash/p",
-      "" // empty url
+      "", // empty url
+      // messy-url policy: query/fragment (even with embedded slashes)
+      // never become path segments; é is not a valid scheme first char
+      "https://h/p?x=1/2",
+      "https://h/a/b#frag/c",
+      "https://h?x=1",
+      "https://h/p?",
+      "é://x/y",
+      "schemeless/p?a/b#c"
     ).toDF("url")
     val rows = urls.select(
         Hierarchy.prefixesOf(col("url")).as("native"),
@@ -124,5 +132,33 @@ class EmitSpec extends SparkSpec {
     nodes("h.example/a") shouldBe Label.Section
     nodes("h.example/a/b/c") shouldBe Label.Section
     nodes("https://h.example/a/9") shouldBe Label.Page
+  }
+
+  test("messy urls: query/fragment mint no SECTION nodes; site == first prefix") {
+    // real-web corpora carry ?query/#fragment on many urls — the frozen
+    // policy strips them before prefix derivation, so a query string
+    // with embedded slashes cannot pollute the SECTION space
+    val urls = Seq(
+      "https://h.example/p?x=1/2",   // query w/ slash → parent is h.example
+      "https://h.example/a/b#f/c",   // fragment w/ slash → parent h.example/a
+      "https://h.example?x=1")       // query on a pathless url
+    val ex = spark.createDataset(urls.zipWithIndex.map { case (u, i) =>
+      ExtractedPage(u, graft.extract.Extract.site(u), ts, "t", "en",
+        Seq.empty, s"s$i") })
+    val t = Emit.triples(ex, spark.emptyDataset[LinkedMention],
+        spark.emptyDataset[CanonRow]).collect()
+      .map(x => (x.subj, x.obj)).toSet
+    t shouldBe Set(
+      (Emit.RootId, "h.example"),
+      ("h.example", "https://h.example/p?x=1/2"),
+      ("h.example/a", "https://h.example/a/b#f/c"),
+      ("h.example", "h.example/a"),
+      ("h.example", "https://h.example?x=1"))
+    // the invariant site(url) == prefixesOf(url)(0) holds on messy urls
+    urls.foreach { u =>
+      val firstPrefix = ex.sparkSession.createDataset(Seq(u)).toDF("url")
+        .select(Hierarchy.prefixesOf(col("url"))(0)).head().getString(0)
+      graft.extract.Extract.site(u) shouldBe firstPrefix
+    }
   }
 }

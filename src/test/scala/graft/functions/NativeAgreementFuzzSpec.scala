@@ -86,18 +86,26 @@ class NativeAgreementFuzzSpec extends SparkSpec {
     val segs = Array("a", "b9", "x_y", "%20z", "", "déjà", "..", "~q")
     val urls = (0 until 200).map { i =>
       val h = Det.mix64(i * 31L)
-      val scheme = (Math.floorMod(h, 4L).toInt: @unchecked) match {
+      val scheme = (Math.floorMod(h, 6L).toInt: @unchecked) match {
         case 0 => "https://"
         case 1 => "a+b-c.9://"
         case 2 => "" // schemeless
         case 3 => "9bad://" // invalid scheme (digit first) — NOT stripped
+        case 4 => "é://" // non-ASCII first char — NOT a scheme either
+        case 5 => "ftp://"
       }
       val depth = (Det.mix64(h) & 0x7).toInt
       val path = (0 until depth).map(k =>
         segs(Math.floorMod(Det.mix64(h + k), segs.length.toLong).toInt))
         .mkString("/")
+      val messy = (Math.floorMod(Det.mix64(h * 5 + 1), 4L).toInt: @unchecked) match {
+        case 0 => "?q=1/x&r=2" // query with embedded slash
+        case 1 => "#frag/y"
+        case 2 => "?#"
+        case 3 => ""
+      }
       (i.toLong, scheme + "host" + (if (path.isEmpty) "" else "/" + path) +
-        (if ((h & 8) == 0) "/" else ""))
+        (if ((h & 8) == 0) "/" else "") + messy)
     }.toDF("id", "url")
     val rows = urls.select(col("id"),
         Hierarchy.prefixesOf(col("url")).as("n"),
