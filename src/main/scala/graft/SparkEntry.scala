@@ -25,10 +25,19 @@ object SparkEntry {
   private def rd(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** The flagship/q29 synth corpus. nEntities = 120 > Emit.RelatesCap
+    * (64) and every 40th page is a glossary head page mentioning every
+    * entity, so the cap policy ACTUALLY FILTERS under the DuckDB oracle
+    * (its rn <= cap branch drops rows; with the old nEntities = 40 the
+    * filter was a no-op and cap drift between Emit/NaiveKg/oracle would
+    * have passed). KgOracleCfgSpec pins >cap distinct canon ids. */
+  val KgOracleCfg: SynthConfig =
+    SynthConfig(nPages = 120L, nSites = 5, nEntities = 120, headPageEvery = 40)
+
   /** Flagship: the KG-construction pipeline end-to-end on the
     * deterministic synthetic corpus (driver smoke-checks rows > 0). */
   def entry(spark: SparkSession): DataFrame = {
-    val cfg = SynthConfig(nPages = 120L, nSites = 5, nEntities = 40)
+    val cfg = KgOracleCfg
     Pipeline.run(Synth.pages(spark, cfg), Synth.aliases(spark, cfg),
       Synth.sameAs(spark, cfg), cfg.nPages).triples.toDF()
   }
@@ -302,7 +311,7 @@ object SparkEntry {
     // mentions, capped relates pairs) from them — the emit stage is
     // hash-compared end-to-end. ----
     "q29_kg_triples" -> ((s, d) => {
-      val cfg = SynthConfig(nPages = 120L, nSites = 5, nEntities = 40)
+      val cfg = KgOracleCfg
       Pipeline.run(Synth.pages(s, cfg), Synth.aliases(s, cfg),
         Synth.sameAs(s, cfg), cfg.nPages).triples.toDF()
         .orderBy("subj", "pred", "obj")

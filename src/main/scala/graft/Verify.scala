@@ -27,16 +27,18 @@ object Verify {
     // q29 aux dump: the flagship oracle re-derives all four triple
     // predicates in DuckDB SQL from these pipeline intermediates (the
     // pipeline is deterministic, so this run's intermediates equal the
-    // ones behind the q29 result dumped above). Dir name must not start
-    // with "q" — the driver globs out_dir/q* for query results.
+    // ones behind the q29 result dumped above). Dot-prefixed so the
+    // driver's result glob (fnmatch: '*' never matches a leading dot)
+    // cannot list it as a pseudo-query row — it is an oracle input, not
+    // a query result.
     try {
       import org.apache.spark.sql.functions.col
-      val cfg = graft.synth.SynthConfig(nPages = 120L, nSites = 5, nEntities = 40)
+      val cfg = SparkEntry.KgOracleCfg
       val g = graft.pipeline.Pipeline.run(
         graft.synth.Synth.pages(spark, cfg),
         graft.synth.Synth.aliases(spark, cfg),
         graft.synth.Synth.sameAs(spark, cfg), cfg.nPages)
-      val aux = s"$outDir/aux_kg"
+      val aux = s"$outDir/.aux_kg"
       g.extracted.toDF().select(col("url"), col("links"))
         .coalesce(1).write.mode("overwrite").parquet(s"$aux/extracted")
       g.linked.toDF().select(col("url"), col("entity_id"))
@@ -61,7 +63,7 @@ object Verify {
     } + "\""
     // __AUX__ → the absolute aux_kg path (DuckDB runs from an arbitrary
     // cwd, so the oracle SQL must carry an absolute read_parquet path)
-    val auxAbs = new java.io.File(s"$outDir/aux_kg").getAbsolutePath
+    val auxAbs = new java.io.File(s"$outDir/.aux_kg").getAbsolutePath
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v.replace("__AUX__", auxAbs))}" }
       .mkString("{", ",", "}")

@@ -25,7 +25,11 @@ final case class SynthConfig(
     // Real Common-Crawl pages are tens of KB with dozens of mentions —
     // benchmarks use e.g. fillerParas=30, mentionSlots=12.
     fillerParas: Int = 0,
-    mentionSlots: Int = 4)
+    mentionSlots: Int = 4,
+    // > 0: every headPageEvery-th page is a glossary-style HEAD page
+    // mentioning EVERY entity — the fixture that forces the relates_to
+    // RelatesCap policy to actually filter (needs nEntities > the cap).
+    headPageEvery: Int = 0)
 
 object Synth {
   // Filler vocabulary and alias vocabulary are DISJOINT so fixture
@@ -152,6 +156,17 @@ object Synth {
       val k = 7L + 10L * nonNeg(h(s, i, 55), math.max(1, (cfg.nEntities.toInt - 8) / 10))
       if (k % 10 == 7 && k + 1 < cfg.nEntities)
         paras ++= s"<p>${fillerSpan(s, i, 56, 2)} ${AliasWords((k % W).toInt)} ${fillerSpan(s, i, 57, 2)}</p>\n"
+    }
+    // glossary-style head page: mentions EVERY entity (RelatesCap
+    // fixture — a link-farm page whose distinct-entity count exceeds the
+    // relates_to cap when nEntities > RelatesCap). Filler separates the
+    // aliases so no mention spans two of them.
+    if (cfg.headPageEvery > 0 && i % cfg.headPageEvery == 0) {
+      (0L until cfg.nEntities.toLong).foreach { e =>
+        val shown = primaryAlias(e).split(' ').map(_.capitalize).mkString(" ")
+        paras ++= s"<p>${fillerSpan(s, i, 400 + e, 2)} <b>$shown</b> " +
+          s"${fillerSpan(s, i, 700 + e, 1)}</p>\n"
+      }
     }
     // benchmark realism: extra pure-filler paragraphs (default 0 → the
     // fixture corpus is byte-identical to the original golden-hashed one)
