@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -24,11 +24,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * fresh MessageDigest + hex string + two k-arrays allocated per
   * shingle. This expression is one tight loop with a thread-local
   * digest and a reusable scratch buffer; measured ~10× on the sf0.1
-  * minhash query. CodegenFallback is deliberate — the loop body is the
-  * work; there is nothing for whole-stage codegen to fuse.
+  * minhash query. The md5 loop dominates, but doGenCode (round 4) still
+  * keeps the surrounding projection inside whole-stage codegen instead
+  * of forcing it interpreted — the generated code calls `compute` on a
+  * referenced instance.
   */
 case class MinhashSig(child: Expression, k: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   require(k > 0 && k <= 1024, s"minhash k out of range: $k")
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
@@ -47,8 +49,16 @@ case class MinhashSig(child: Expression, k: Int)
   @transient private lazy val seedSuffix: Array[Array[Byte]] =
     Array.tabulate(k)(i => s"#$i".getBytes(java.nio.charset.StandardCharsets.UTF_8))
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("minhashSig", this, classOf[MinhashSig].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = $ref.compute($c);")
+  }
+
+  def compute(arr: ArrayData): ArrayData = {
     val n = arr.numElements()
     val md = MinhashSig.digests.get()
     val mins = new Array[Array[Byte]](k) // null slot = empty sentinel "g"

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
@@ -17,12 +17,17 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * Why native: the HOF tree is interpreted per element with a zipped
   * intermediate array per row — it dominates every ANN operator
   * (signature planes × dim multiply-adds per row). This is one fused
-  * loop.
+  * loop; doGenCode (round 4) keeps the many-plane SRP/IVF projections
+  * inside ONE whole-stage-codegen region instead of interpreting them.
   */
 case class VecDot(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
+
+  /** NULL can arise from non-null inputs (length mismatch / null
+    * element), independent of child nullability. */
+  override def nullable: Boolean = true
 
   private def elemOk(dt: DataType): Boolean = dt match {
     case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
@@ -43,9 +48,22 @@ case class VecDot(left: Expression, right: Expression)
   @transient private lazy val rightIsFloat =
     right.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
-  override def nullSafeEval(l: Any, r: Any): Any = {
-    val a = l.asInstanceOf[ArrayData]
-    val b = r.asInstanceOf[ArrayData]
+  override def nullSafeEval(l: Any, r: Any): Any =
+    compute(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("vecDot", this, classOf[VecDot].getName)
+    val tmp = ctx.freshName("vecDotRes")
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"""java.lang.Double $tmp = (java.lang.Double) $ref.compute($a, $b);
+         |if ($tmp == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $tmp.doubleValue(); }""".stripMargin)
+  }
+
+  /** Boxed so the null result (length mismatch / null element) survives
+    * the codegen boundary; the box is one allocation per ROW against
+    * dim multiply-adds. */
+  def compute(a: ArrayData, b: ArrayData): java.lang.Double = {
     val n = a.numElements()
     if (b.numElements() != n) return null // zip_with pad → null sum
     var sum = 0.0

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -21,9 +21,15 @@ import org.apache.spark.unsafe.types.UTF8String
   * is an interpreted HigherOrderFunction tree — profiled at ~11 µs per
   * shingle (3 s per evaluation at sf0.1), and every dedup operator
   * evaluates it 2-3×. This is one loop with a linked hash set.
+  *
+  * doGenCode (round 4) keeps the row inside whole-stage codegen: the
+  * generated code calls `compute` on a referenced instance, so the
+  * projection around it no longer falls back to interpreted mode and
+  * there is no per-row virtual `eval` boundary; the loop itself is the
+  * same compiled Scala either way.
   */
 case class WordShingles(child: Expression, n: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   require(n > 0 && n <= 64, s"shingle width out of range: $n")
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
@@ -40,8 +46,16 @@ case class WordShingles(child: Expression, n: Int)
 
   @transient private lazy val space = UTF8String.fromString(" ")
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("wordShingles", this, classOf[WordShingles].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = $ref.compute($c);")
+  }
+
+  def compute(arr: ArrayData): ArrayData = {
     val m = arr.numElements()
     if (m < n) return new GenericArrayData(Array.empty[AnyRef])
     val toks = new Array[UTF8String](m)

@@ -62,6 +62,21 @@ class PlanSpec extends SparkSpec {
     p should not include "BatchEvalPython"
   }
 
+  test("native expressions (shingles/minhash/vec_dot) stay inside WholeStageCodegen") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val sig = docs.select(graft.ops.DedupOps.minhashSigFromShingles(
+      graft.ops.DedupOps.shingles(TextOps.tokens($"text"), 3), 8).as("sig"))
+    // round 3 left these CodegenFallback: the Project around them fell
+    // out of whole-stage codegen ('Project' without the '*(n)' prefix).
+    // round 4's doGenCode calls compute() from generated code instead.
+    val p1 = plan(sig)
+    p1 should include("*(1) Project")
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val p2 = plan(emb.select(
+      AnnOps.srpBucket($"embedding", 42L, 8, 64).as("b")))
+    p2 should include("*(1) Project")
+  }
+
   test("pipeline triples read the cached extraction (InMemoryTableScan), not a re-extract") {
     val cfg = SynthConfig(nPages = 50L)
     val g = Pipeline.run(Synth.pages(spark, cfg), Synth.aliases(spark, cfg),
