@@ -102,23 +102,68 @@ object AnnOps {
     -array_max(array(scored: _*)).getField("ncid")
   }
 
+  /** The nProbe cell ids nearest the query (argmax dot, lowest-cell
+    * tie-break) — driver-side over the tiny codebook. */
+  def probeCells(
+      query: Array[Float], seed: Long, nCells: Int, nProbe: Int): Seq[Long] = {
+    val qDots = (0 until nCells).map { c =>
+      c -> ivfCentroid(seed, c, query.length)
+        .zip(query).map { case (h, x) => h * x }.sum
+    }
+    qDots.sortBy { case (c, dot) => (-dot, c) }.take(nProbe).map(_._1.toLong)
+  }
+
   /** IVF top-k: assign every vector to its nearest centroid map-side;
     * probe the `nProbe` centroid lists nearest to the query; exact
     * cosine re-rank inside the probed cells only. The inverted lists are
-    * an equi filter on the cell id — at cluster scale the table is
-    * partitioned by cell, so a query touches nProbe/nCells of the data.
-    * Recall < 1 by construction; nProbe trades cost for recall. */
+    * an equi filter on a COMPUTED cell id — every probe still scans the
+    * full table (the filter runs after the scan). The scale path is the
+    * MATERIALIZED index ([[buildIvfIndex]] + [[ivfTopKIndexed]]), where
+    * the same filter becomes a partition PRUNE and a query touches
+    * nProbe/nCells of the data. Recall < 1 by construction; nProbe
+    * trades cost for recall. */
   def ivfTopK(
       df: DataFrame, idCol: String, embCol: String, query: Array[Float],
       k: Int, seed: Long = 42L, nCells: Int = 16, nProbe: Int = 4): DataFrame = {
-    val d = query.length
-    val qDots = (0 until nCells).map { c =>
-      c -> ivfCentroid(seed, c, d).zip(query).map { case (h, x) => h * x }.sum
-    }
-    val probes = qDots.sortBy { case (c, dot) => (-dot, c) }
-      .take(nProbe).map(_._1.toLong)
+    val probes = probeCells(query, seed, nCells, nProbe)
     df.select(col(idCol).as("id"), col(embCol).as("emb"),
-        ivfCell(col(embCol), seed, nCells, d).as("cell"))
+        ivfCell(col(embCol), seed, nCells, query.length).as("cell"))
+      .filter(col("cell").isin(probes: _*))
+      .select(col("id"), round(cosineToQuery(col("emb"), query), 6).as("cos"))
+      .orderBy(col("cos").desc, col("id").asc)
+      .limit(k)
+  }
+
+  /** Materialize the IVF inverted lists as a cell-PARTITIONED table —
+    * the Spark analog of the reference's persisted vector index
+    * (neo4j_manager.py:226-230): one Snapshot-committed parquet table,
+    * hive-partitioned by cell id, resumable/idempotent like every other
+    * stage. Cell assignment is map-side (no shuffle besides the
+    * partitioned write's repartition by cell). */
+  def buildIvfIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      baseDir: String,
+      df: DataFrame, idCol: String, embCol: String,
+      snapshotId: String,
+      seed: Long = 42L, nCells: Int = 16, dim: Int = 64): DataFrame =
+    graft.meta.Snapshot.stage(spark, baseDir, "ann_ivf", snapshotId,
+      s"ivf-v1-s$seed-c$nCells-d$dim", Seq("cell")) {
+      df.select(col(idCol).as("id"), col(embCol).as("emb"),
+          ivfCell(col(embCol), seed, nCells, dim).as("cell"))
+        .repartition(col("cell"))
+    }
+
+  /** IVF top-k over the materialized index: the cell filter is a
+    * PartitionFilter on the scan (plan-asserted), so only nProbe of the
+    * nCells partition directories are read — at cluster scale the
+    * difference between touching 25% and 100% of a 10^12-vector table.
+    * Same results as [[ivfTopK]] (identical assignment + probes). */
+  def ivfTopKIndexed(
+      spark: org.apache.spark.sql.SparkSession,
+      baseDir: String, query: Array[Float],
+      k: Int, seed: Long = 42L, nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+    val probes = probeCells(query, seed, nCells, nProbe)
+    spark.read.parquet(s"$baseDir/ann_ivf/data")
       .filter(col("cell").isin(probes: _*))
       .select(col("id"), round(cosineToQuery(col("emb"), query), 6).as("cos"))
       .orderBy(col("cos").desc, col("id").asc)
