@@ -316,6 +316,24 @@ object SparkEntry {
         Synth.sameAs(s, cfg), cfg.nPages).triples.toDF()
         .orderBy("subj", "pred", "obj")
     }),
+    // ---- multimodal CONTENT decode for the codec-free formats: real
+    // BMP pixel-mean and WAV PCM rate/duration/RMS, construct→parse
+    // round-trip (synthAvBytes encodes real file layouts; the oracle
+    // recomputes every value from the generating formulas alone) ----
+    "q36_multimodal_av" -> ((s, d) => {
+      import s.implicits._
+      val media = rd(s, d, "documents").filter(col("doc_id") < 60)
+        .select(col("doc_id")).as[Long]
+        .map(id => Multimodal.MediaRow(
+          id, if (id % 2 == 0) "image" else "audio",
+          Multimodal.synthAvBytes(id)))
+      Multimodal.decodeAvFeatures(media).toDF()
+        .select(col("media_id"), col("format"), col("width"), col("height"),
+          round(col("mean_px"), 6).as("mean_px"),
+          col("sample_rate"), col("duration_ms"),
+          round(col("rms"), 6).as("rms"))
+        .orderBy("media_id")
+    }),
     // ---- A3/A11 arbitrary-depth ancestor chain over a synthetic
     // variable-depth path column (the FOLDER-analog derivation, oracled
     // directly against an independent SQL prefix expansion). A fifth of
@@ -807,5 +825,27 @@ object SparkEntry {
         | CAST(16 + (doc_id * 13) % 800 AS INT) AS height,
         | CAST(CASE doc_id % 6 WHEN 0 THEN 29 WHEN 1 THEN 13 WHEN 2 THEN 33
         |   WHEN 3 THEN 30 WHEN 4 THEN 124 ELSE 25 END AS BIGINT) AS n_bytes
+        |FROM documents WHERE doc_id < 60 ORDER BY media_id""".stripMargin,
+    // q36: the engine encodes REAL BMP/WAV files from doc_id and decodes
+    // their CONTENT back (pixel mean / PCM RMS); the oracle recomputes
+    // every value from the generating formulas, no byte logic shared
+    "q36_multimodal_av" ->
+      """SELECT doc_id AS media_id,
+        | CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'wav' END AS format,
+        | CAST(CASE WHEN doc_id % 2 = 0 THEN 4 + (doc_id % 3) * 4 ELSE 0 END AS INT) AS width,
+        | CAST(CASE WHEN doc_id % 2 = 0 THEN 1 + (doc_id % 4) ELSE 0 END AS INT) AS height,
+        | CASE WHEN doc_id % 2 = 0 THEN round(list_avg(
+        |   [CAST((doc_id * 31 + k) % 256 AS DOUBLE)
+        |    for k in range(0, CAST((4 + (doc_id % 3) * 4) * 3 * (1 + (doc_id % 4)) AS INT))]), 6)
+        |   ELSE 0.0 END AS mean_px,
+        | CAST(CASE WHEN doc_id % 2 = 1 THEN 8000 + (doc_id % 8) * 1000 ELSE 0 END AS INT) AS sample_rate,
+        | CAST(CASE WHEN doc_id % 2 = 1
+        |   THEN (400 + (doc_id % 5) * 100) * 1000 // (8000 + (doc_id % 8) * 1000)
+        |   ELSE 0 END AS BIGINT) AS duration_ms,
+        | CASE WHEN doc_id % 2 = 1 THEN round(sqrt(list_avg(
+        |   [CAST(((doc_id * 7 + 13 * k) % 2001 - 1000)
+        |         * ((doc_id * 7 + 13 * k) % 2001 - 1000) AS DOUBLE)
+        |    for k in range(0, CAST(400 + (doc_id % 5) * 100 AS INT))])), 6)
+        |   ELSE 0.0 END AS rms
         |FROM documents WHERE doc_id < 60 ORDER BY media_id""".stripMargin)
 }

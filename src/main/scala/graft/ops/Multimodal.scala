@@ -8,12 +8,13 @@ import org.apache.spark.sql.{Dataset, SparkSession}
   *
   * The Spark-side shape is real and tested — schema, per-partition
   * batching, lazy decoder init (the S8 analog: per-process initializer,
-  * compilation_parser.py:160-234). The codec itself is STUBBED: this
-  * container has no image/audio libraries, so `decode` parses real PNG
-  * headers (pure byte inspection) and otherwise produces a
-  * deterministic fake — clearly marked below. Swap `StubCodec` for a
-  * real decoder (e.g. a JNI codec initialized once per executor via the
-  * same mapPartitions pattern) in production.
+  * compilation_parser.py:160-234). Seven header parses (PNG, GIF, JPEG,
+  * WebP×3, MP4, BMP, WAV) and the two uncompressed CONTENT decodes
+  * (BMP pixel mean, WAV PCM RMS) are real byte-level logic; only
+  * compressed pixel/audio decode is STUBBED (this container has no
+  * codec libraries) — clearly marked below. Swap `StubCodec` for a real
+  * decoder (e.g. a JNI codec initialized once per executor via the same
+  * mapPartitions pattern) in production.
   */
 object Multimodal {
 
@@ -22,14 +23,19 @@ object Multimodal {
       media_id: Long, kind: String, format: String,
       width: Int, height: Int, n_bytes: Long, feature: Array[Float])
 
-  /** Format sniffing from magic bytes — real logic, no stub. */
+  /** Format sniffing from magic bytes — real logic, no stub. RIFF
+    * containers split on their form type: WAVE → "wav" (audio), others
+    * (WEBP included) stay "riff". */
   def sniffFormat(payload: Array[Byte]): String = {
     def at(i: Int, v: Int) = payload.length > i && (payload(i) & 0xFF) == v
     if (at(0, 0x89) && at(1, 'P') && at(2, 'N') && at(3, 'G')) "png"
     else if (at(0, 0xFF) && at(1, 0xD8)) "jpeg"
     else if (at(0, 'G') && at(1, 'I') && at(2, 'F') && at(3, '8') &&
       (at(4, '7') || at(4, '9')) && at(5, 'a')) "gif"
+    else if (at(0, 'R') && at(1, 'I') && at(2, 'F') && at(3, 'F') &&
+      at(8, 'W') && at(9, 'A') && at(10, 'V') && at(11, 'E')) "wav"
     else if (at(0, 'R') && at(1, 'I') && at(2, 'F') && at(3, 'F')) "riff"
+    else if (at(0, 'B') && at(1, 'M')) "bmp"
     else if (at(4, 'f') && at(5, 't') && at(6, 'y') && at(7, 'p')) "mp4"
     else "unknown"
   }
@@ -70,6 +76,101 @@ object Multimodal {
 
   private def le24(b: Array[Byte], off: Int): Int =
     (b(off) & 0xFF) | ((b(off + 1) & 0xFF) << 8) | ((b(off + 2) & 0xFF) << 16)
+
+  private def le32(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xFF) | ((b(off + 1) & 0xFF) << 8) |
+      ((b(off + 2) & 0xFF) << 16) | ((b(off + 3) & 0xFF) << 24)
+
+  /** Real BMP dimension parse — BITMAPINFOHEADER (or any later 40+-byte
+    * info header): little-endian width/height at +4/+8 of the info
+    * header; negative height means top-down row order (dims are its
+    * magnitude). Pure bytes, uncompressed format, no libraries needed. */
+  def bmpDims(b: Array[Byte]): Option[(Int, Int)] =
+    if (b.length >= 26 && b(0) == 'B' && b(1) == 'M' && le32(b, 14) >= 40)
+      Some((le32(b, 18), math.abs(le32(b, 22))))
+    else None
+
+  /** Real BMP pixel decode (24 bpp BI_RGB): mean over the pixel channel
+    * bytes, skipping each row's 4-byte alignment padding. This is a
+    * REAL pixel statistic — BMP needs no codec. */
+  def bmpMeanPixel(b: Array[Byte]): Option[Double] = {
+    for {
+      (w, h) <- bmpDims(b)
+      if b.length >= 34 && le16(b, 28) == 24 && le32(b, 30) == 0 && w > 0 && h > 0
+      off = le32(b, 10)
+      rowBytes = ((w * 3 + 3) / 4) * 4
+      if off >= 0 && off.toLong + rowBytes.toLong * h <= b.length
+    } yield {
+      var sum = 0L
+      var r = 0
+      while (r < h) {
+        var i = 0
+        val base = off + r * rowBytes
+        while (i < w * 3) { sum += (b(base + i) & 0xFF); i += 1 }
+        r += 1
+      }
+      sum.toDouble / (w.toLong * 3 * h)
+    }
+  }
+
+  final case class WavInfo(
+      sampleRate: Int, channels: Int, bitsPerSample: Int, nSamples: Long) {
+    def durationMs: Long =
+      if (sampleRate > 0) nSamples * 1000L / sampleRate else 0L
+  }
+
+  /** Real WAV header parse — walks the RIFF chunks for `fmt ` (PCM
+    * format word, channel count, sample rate, bits per sample) and
+    * `data` (payload size → frame count). Pure bytes. */
+  def wavInfo(b: Array[Byte]): Option[WavInfo] = {
+    if (b.length < 12 || sniffFormat(b) != "wav") return None
+    var sr = 0; var ch = 0; var bps = 0; var dataSize = -1L
+    var i = 12
+    while (i + 8 <= b.length) {
+      val fourCC = new String(b, i, 4, "ISO-8859-1")
+      val size = le32(b, i + 4).toLong & 0xFFFFFFFFL
+      val p = i + 8
+      fourCC match {
+        case "fmt " if p + 16 <= b.length =>
+          ch = le16(b, p + 2); sr = le32(b, p + 4); bps = le16(b, p + 14)
+        case "data" => dataSize = math.min(size, (b.length - p).toLong)
+        case _ => ()
+      }
+      i = p + size.toInt + (size.toInt & 1) // chunks are even-padded
+      if (size > Int.MaxValue) return None
+    }
+    if (sr > 0 && ch > 0 && bps > 0 && dataSize >= 0)
+      Some(WavInfo(sr, ch, bps, dataSize / (ch.toLong * bps / 8)))
+    else None
+  }
+
+  /** Real PCM sample decode (16-bit): root-mean-square amplitude over
+    * every sample of every channel. */
+  def wavRms(b: Array[Byte]): Option[Double] = {
+    if (wavInfo(b).forall(_.bitsPerSample != 16)) return None
+    // locate the data chunk again (single pass kept simple)
+    var i = 12
+    while (i + 8 <= b.length) {
+      val fourCC = new String(b, i, 4, "ISO-8859-1")
+      val size = le32(b, i + 4)
+      val p = i + 8
+      if (fourCC == "data") {
+        val n = math.min(size, b.length - p) / 2
+        if (n == 0) return Some(0.0)
+        var sum = 0.0
+        var k = 0
+        while (k < n) {
+          val s = (le16(b, p + 2 * k) << 16) >> 16 // sign-extend
+          sum += s.toDouble * s
+          k += 1
+        }
+        return Some(math.sqrt(sum / n))
+      }
+      i = p + size + (size & 1)
+      if (size < 0) return None
+    }
+    None
+  }
 
   private def be64(b: Array[Byte], off: Int): Long =
     ((be32(b, off).toLong & 0xFFFFFFFFL) << 32) |
@@ -143,11 +244,13 @@ object Multimodal {
   /** A "decoder" handle that is expensive to construct — initialized
     * once per partition, not per row (mapPartitions closure). */
   final class StubCodec {
-    /** PNG IHDR, GIF logical-screen, JPEG SOF, WebP VP8/VP8L/VP8X, and
-      * MP4 tkhd width/height are REAL byte-level parses; what remains
-      * faked is pixel/audio decode (no codec libraries in this
-      * container): deterministic fake dims from the payload hash for
-      * unknown formats and truncated headers. */
+    /** PNG IHDR, GIF logical-screen, JPEG SOF, WebP VP8/VP8L/VP8X,
+      * MP4 tkhd, BMP BITMAPINFOHEADER width/height AND the uncompressed
+      * decodes (BMP 24bpp pixel mean, WAV 16-bit PCM RMS) are REAL
+      * byte-level parses; what remains faked is compressed pixel/audio
+      * decode (no codec libraries in this container): deterministic fake
+      * dims from the payload hash for unknown formats and truncated
+      * headers. Audio has no raster dims — (0, 0) is the real answer. */
     def decodeDims(payload: Array[Byte]): (Int, Int) =
       sniffFormat(payload) match {
         case "png" if payload.length >= 24 =>
@@ -160,6 +263,9 @@ object Multimodal {
           webpDims(payload).getOrElse(fakeDims(payload))
         case "mp4" =>
           mp4Dims(payload).getOrElse(fakeDims(payload))
+        case "bmp" =>
+          bmpDims(payload).getOrElse(fakeDims(payload))
+        case "wav" => (0, 0)
         case _ => fakeDims(payload)
       }
 
@@ -193,6 +299,80 @@ object Multimodal {
       }
     }
   }
+
+  final case class AvMeta(
+      media_id: Long, format: String, width: Int, height: Int,
+      mean_px: Double, sample_rate: Int, duration_ms: Long, rms: Double)
+
+  /** REAL content decode for the codec-free formats: BMP 24bpp pixel
+    * mean + dims, WAV 16-bit PCM sample rate / duration / RMS. Same
+    * per-partition codec-init shape as decodeAndFeaturize; unlike the
+    * header-only path, the CONTENT bytes are decoded here (the S8
+    * analog's per-item content features, compilation_parser.py:49-121).
+    * Non-applicable fields are zero, not fake. */
+  def decodeAvFeatures(media: Dataset[MediaRow]): Dataset[AvMeta] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        sniffFormat(r.payload) match {
+          case "bmp" =>
+            val (w, h) = bmpDims(r.payload).getOrElse((0, 0))
+            AvMeta(r.media_id, "bmp", w, h,
+              bmpMeanPixel(r.payload).getOrElse(0.0), 0, 0L, 0.0)
+          case "wav" =>
+            val info = wavInfo(r.payload)
+            AvMeta(r.media_id, "wav", 0, 0, 0.0,
+              info.map(_.sampleRate).getOrElse(0),
+              info.map(_.durationMs).getOrElse(0L),
+              wavRms(r.payload).getOrElse(0.0))
+          case f =>
+            AvMeta(r.media_id, f, 0, 0, 0.0, 0, 0L, 0.0)
+        }
+      }
+    }
+  }
+
+  /** Deterministic REAL full files (not just headers) for the
+    * construct→parse round-trip oracle (q36): even ids → a 24bpp BI_RGB
+    * BMP whose pixel bytes follow (id·31 + k) mod 256 (width a multiple
+    * of 4 so rows need no padding), odd ids → a 16-bit PCM mono WAV
+    * whose samples follow ((id·7 + 13k) mod 2001) − 1000. The DuckDB
+    * oracle recomputes dims / pixel mean / sample rate / duration / RMS
+    * from the formulas alone — the byte encode and the byte decode must
+    * agree through a real file layout. */
+  def synthAvBytes(id: Long): Array[Byte] =
+    if (id % 2 == 0) {
+      val w = (4 + (id % 3) * 4).toInt // 4/8/12: w*3 divisible by 4
+      val h = (1 + (id % 4)).toInt
+      val nPix = w * 3 * h
+      val out = java.nio.ByteBuffer.allocate(54 + nPix)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      out.put('B'.toByte).put('M'.toByte).putInt(54 + nPix)
+        .putShort(0).putShort(0).putInt(54) // file header
+      out.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+        .putInt(0).putInt(nPix).putInt(0).putInt(0).putInt(0).putInt(0)
+      var k = 0
+      while (k < nPix) { out.put(((id * 31 + k) % 256).toByte); k += 1 }
+      out.array()
+    } else {
+      val sr = (8000 + (id % 8) * 1000).toInt
+      val ns = (400 + (id % 5) * 100).toInt
+      val out = java.nio.ByteBuffer.allocate(44 + 2 * ns)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      out.put("RIFF".getBytes("ISO-8859-1")).putInt(36 + 2 * ns)
+        .put("WAVE".getBytes("ISO-8859-1"))
+      out.put("fmt ".getBytes("ISO-8859-1")).putInt(16)
+        .putShort(1).putShort(1).putInt(sr).putInt(sr * 2)
+        .putShort(2).putShort(16)
+      out.put("data".getBytes("ISO-8859-1")).putInt(2 * ns)
+      var k = 0
+      while (k < ns) {
+        out.putShort(((id * 7 + 13L * k) % 2001 - 1000).toShort)
+        k += 1
+      }
+      out.array()
+    }
 
   /** Deterministic frame-sampling plan for a video payload: every
     * `stride`-th frame offset of `nFrames` — pure plumbing (a real

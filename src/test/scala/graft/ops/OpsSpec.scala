@@ -454,4 +454,69 @@ class OpsSpec extends SparkSpec {
     Multimodal.mp4Dims(ftyp ++ moov2) shouldBe Some((320, 200))
     Multimodal.mp4Dims(ftyp) shouldBe None
   }
+
+  test("bmp: real dims + pixel mean; row padding excluded; top-down height") {
+    // w=2 → rowBytes=8: 6 pixel bytes + 2 padding bytes per row. Padding
+    // is 0xFF here so including it would shift the mean visibly.
+    def le32b(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte,
+      (v >> 16).toByte, (v >> 24).toByte)
+    def le16b(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+    def bmp(w: Int, h: Int, rows: Array[Array[Byte]]): Array[Byte] =
+      "BM".getBytes("US-ASCII") ++ le32b(54 + rows.map(_.length).sum) ++
+        le32b(0) ++ le32b(54) ++
+        le32b(40) ++ le32b(w) ++ le32b(h) ++ le16b(1) ++ le16b(24) ++
+        le32b(0) ++ le32b(0) ++ le32b(0) ++ le32b(0) ++ le32b(0) ++ le32b(0) ++
+        rows.flatten
+    val row: Array[Byte] = Array[Byte](10, 20, 30, 40, 50, 60) ++
+      Array[Byte](-1, -1) // 2 padding bytes (0xFF)
+    val img = bmp(2, 2, Array(row, row))
+    Multimodal.sniffFormat(img) shouldBe "bmp"
+    Multimodal.bmpDims(img) shouldBe Some((2, 2))
+    Multimodal.bmpMeanPixel(img).get shouldBe (10 + 20 + 30 + 40 + 50 + 60) / 6.0
+    // negative height = top-down row order; dims are the magnitude
+    val topDown = bmp(2, -2, Array(row, row))
+    // patch height field to -2 (bmp() wrote it already via le32b(-2))
+    Multimodal.bmpDims(topDown) shouldBe Some((2, 2))
+    // truncated pixel data → dims still real, mean refuses
+    val short = img.dropRight(4)
+    Multimodal.bmpDims(short) shouldBe Some((2, 2))
+    Multimodal.bmpMeanPixel(short) shouldBe None
+    Multimodal.bmpMeanPixel("BM".getBytes("US-ASCII")) shouldBe None
+  }
+
+  test("wav: real fmt/data parse, stereo frame count, 16-bit RMS, odd-chunk padding") {
+    def le32b(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte,
+      (v >> 16).toByte, (v >> 24).toByte)
+    def le16b(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+    def wav(ch: Int, sr: Int, bps: Int, data: Array[Byte],
+        extra: Array[Byte] = Array.empty): Array[Byte] =
+      "RIFF".getBytes("US-ASCII") ++ le32b(36 + data.length) ++
+        "WAVE".getBytes("US-ASCII") ++ extra ++
+        "fmt ".getBytes("US-ASCII") ++ le32b(16) ++
+        le16b(1) ++ le16b(ch) ++ le32b(sr) ++ le32b(sr * ch * bps / 8) ++
+        le16b(ch * bps / 8) ++ le16b(bps) ++
+        "data".getBytes("US-ASCII") ++ le32b(data.length) ++ data
+    // mono 16-bit, samples 300 and -400 → rms = sqrt((300²+400²)/2)
+    val mono = wav(1, 8000, 16, le16b(300) ++ le16b(-400 & 0xFFFF))
+    Multimodal.sniffFormat(mono) shouldBe "wav"
+    val info = Multimodal.wavInfo(mono).get
+    (info.sampleRate, info.channels, info.bitsPerSample, info.nSamples) shouldBe
+      ((8000, 1, 16, 2L))
+    info.durationMs shouldBe 0L // 2 samples at 8 kHz
+    Multimodal.wavRms(mono).get shouldBe
+      math.sqrt((300.0 * 300 + 400.0 * 400) / 2)
+    // stereo: 4 samples of 2 bytes = 2 FRAMES per channel pair
+    val stereo = wav(2, 44100, 16,
+      le16b(1) ++ le16b(2) ++ le16b(3) ++ le16b(4))
+    Multimodal.wavInfo(stereo).get.nSamples shouldBe 2L
+    // an odd-sized unknown chunk before fmt must be skipped with its
+    // RIFF even-padding byte
+    val oddChunk = "LIST".getBytes("US-ASCII") ++ le32b(3) ++
+      Array[Byte](1, 2, 3, 0)
+    val padded = wav(1, 8000, 16, le16b(100), extra = oddChunk)
+    Multimodal.wavInfo(padded).get.sampleRate shouldBe 8000
+    // a WEBP riff is not a wav
+    Multimodal.wavInfo("RIFF   WEBP"
+      .getBytes("ISO-8859-1")) shouldBe None
+  }
 }
