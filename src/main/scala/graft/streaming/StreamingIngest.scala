@@ -145,9 +145,19 @@ object StreamingIngest {
             state.update(1L)
             // TTL anchored to the key's max EVENT time, not the
             // watermark: the watermark lags a whole batch, and anchoring
-            // there evicts one trigger too early
+            // there evicts one trigger too early. Clamped to stay above
+            // the current watermark: flatMapGroupsWithState does NOT
+            // pre-filter late rows (unlike aggregations), so a
+            // re-arrival more than ttl older than the watermark would
+            // otherwise compute a timeout in the past and the engine
+            // rejects it (found by the 100k-corpus StreamGateBench —
+            // the MemoryStream specs replay within the lateness window
+            // and never hit it). Such a key is evictable at the very
+            // next trigger, which the +1 encodes.
             if (rs.nonEmpty)
-              state.setTimeoutTimestamp(rs.map(_.warc_ts.getTime).max + ttlMs)
+              state.setTimeoutTimestamp(
+                math.max(rs.map(_.warc_ts.getTime).max + ttlMs,
+                  state.getCurrentWatermarkMs() + 1))
             out
           }
       }

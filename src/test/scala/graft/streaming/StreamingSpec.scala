@@ -192,6 +192,37 @@ class StreamingSpec extends SparkSpec {
     (urls should not).contain("u4")
   }
 
+  test("near-dup gate survives a re-arrival far older than the watermark") {
+    // flatMapGroupsWithState does NOT pre-filter late rows: a replayed
+    // WARC drop can deliver a row more than ttl older than the current
+    // watermark, whose naive event-time+ttl timeout lies in the past —
+    // the engine rejects past timeouts, so the gate must clamp
+    // (regression: found by StreamGateBench at 100k, crashed the query)
+    import java.sql.Timestamp
+    import graft.model.ExtractedPage
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[ExtractedPage]
+    val out = StreamingIngest.nearDupGate(mem.toDS(),
+      n = 3, k = 8, lateness = "10 minutes", ttlMs = 30L * 60 * 1000)
+    val q = out.writeStream.format("memory").queryName("neardup_late")
+      .outputMode(OutputMode.Append()).start()
+    val m = 60L * 1000L
+    def page(url: String, ts: Long, text: String) =
+      ExtractedPage(url, "s", new Timestamp(ts), text, "en", Nil, "sha", 0L)
+    mem.addData(page("a1", 60 * m, "alpha doc one two three four"))
+    q.processAllAvailable()
+    // watermark now ≈ 50 min; replay a row from t=5 min (55 min late,
+    // ttl is 30 min → naive timeout 35 min < watermark): must not crash
+    mem.addData(page("a2", 5 * m, "very old replayed doc six seven eight"))
+    q.processAllAvailable()
+    mem.addData(page("a3", 120 * m, "fresh doc nine ten eleven twelve"))
+    q.processAllAvailable()
+    val urls = spark.table("neardup_late").collect().map(_.getString(0)).toSet
+    q.stop()
+    urls should contain("a1")
+    urls should contain("a3")
+  }
+
   test("transformWithState near-dup gate admits the same pages (RocksDB TTL state)") {
     import java.sql.Timestamp
     import graft.model.ExtractedPage
