@@ -43,7 +43,8 @@ object Bench {
         fillerParas = 30, mentionSlots = 12)
       val inputDir = s"/dev/shm/graft-bench-input-$pages"
       if (!new java.io.File(s"$inputDir/_SUCCESS").exists())
-        Synth.pages(spark, cfg).write.mode("overwrite").parquet(inputDir)
+        Synth.pages(spark, cfg).repartition(64)
+        .write.mode("overwrite").parquet(inputDir)
       // wide-binary corpus (≈20 KB html/row): the default 4096-row
       // vectorized-reader batch costs ~80 MB per concurrent reader — 512
       // keeps 32 readers + the pipeline cache inside the heap. Scoped to

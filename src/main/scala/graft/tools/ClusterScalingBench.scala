@@ -40,13 +40,16 @@ object ClusterScalingBench {
       "java.base/sun.security.action", "java.base/sun.util.calendar")
       .map(p => s"--add-opens=$p=ALL-UNNAMED").mkString(" ")
 
+    // per-executor memory (MB): same on every config so the N→4N story
+    // compares equal executors, only more of them
+    val execMb = sys.env.getOrElse("SPARK_GRAFT_EXEC_MB", "4096").toInt
     val spark = SparkSession.builder()
-      .master(s"local-cluster[$nWorkers, $coresPerWorker, 4096]")
+      .master(s"local-cluster[$nWorkers, $coresPerWorker, $execMb]")
       .appName(s"graft-cluster-scaling-$nWorkers-x-$coresPerWorker")
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", totalCores.toString))
       .config("spark.jars", jar)
-      .config("spark.executor.memory", "4g")
+      .config("spark.executor.memory", s"${execMb}m")
       .config("spark.executor.extraJavaOptions", addOpens)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
@@ -58,9 +61,13 @@ object ClusterScalingBench {
 
     val cfg = SynthConfig(nPages = nPages, nSites = 50, nEntities = 1000,
       fillerParas = 30, mentionSlots = 12)
+    // one fixed 64-file layout regardless of generating session: a table
+    // written by a 2-core session would otherwise cap scan parallelism at
+    // a handful of row-group splits and silently wreck the scaling story
     val inputDir = s"/dev/shm/graft-bench-input-$nPages"
     if (!new java.io.File(s"$inputDir/_SUCCESS").exists())
-      Synth.pages(spark, cfg).write.mode("overwrite").parquet(inputDir)
+      Synth.pages(spark, cfg).repartition(64)
+        .write.mode("overwrite").parquet(inputDir)
     def readPages() = spark.read.parquet(inputDir).as[graft.model.PageRow]
 
     val warm = Pipeline.run(readPages().limit(1000),

@@ -29,7 +29,8 @@ object EmitPhaseProbe {
       fillerParas = 30, mentionSlots = 12)
     val inputDir = s"/dev/shm/graft-bench-input-$nPages"
     if (!new java.io.File(s"$inputDir/_SUCCESS").exists())
-      Synth.pages(spark, cfg).write.mode("overwrite").parquet(inputDir)
+      Synth.pages(spark, cfg).repartition(64)
+        .write.mode("overwrite").parquet(inputDir)
 
     def t[T](name: String)(body: => T): T = {
       val t0 = System.nanoTime(); val r = body

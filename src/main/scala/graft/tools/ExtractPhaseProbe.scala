@@ -23,7 +23,8 @@ object ExtractPhaseProbe {
       fillerParas = 30, mentionSlots = 12)
     val inputDir = s"/dev/shm/graft-bench-input-$nPages"
     if (!new java.io.File(s"$inputDir/_SUCCESS").exists())
-      Synth.pages(spark, cfg).write.mode("overwrite").parquet(inputDir)
+      Synth.pages(spark, cfg).repartition(64)
+        .write.mode("overwrite").parquet(inputDir)
     def pages() = spark.read.parquet(inputDir).as[graft.model.PageRow]
 
     def t(name: String)(body: => Any): Unit = {

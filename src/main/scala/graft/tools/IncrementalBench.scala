@@ -40,7 +40,8 @@ object IncrementalBench {
       fillerParas = 30, mentionSlots = 12)
     val inputDir = s"/dev/shm/graft-bench-input-$nPages"
     if (!new java.io.File(s"$inputDir/_SUCCESS").exists())
-      Synth.pages(spark, cfg).write.mode("overwrite").parquet(inputDir)
+      Synth.pages(spark, cfg).repartition(64)
+        .write.mode("overwrite").parquet(inputDir)
     def oldPages() = spark.read.parquet(inputDir).as[graft.model.PageRow]
     val changed = (1 to nChanged).map(i => s"/${i * 7}")
     def newPages() = oldPages().map { p =>

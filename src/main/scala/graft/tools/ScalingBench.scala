@@ -46,7 +46,8 @@ object ScalingBench {
     import spark.implicits._
     val inputDir = s"/dev/shm/graft-bench-input-$nPages"
     if (!new java.io.File(s"$inputDir/_SUCCESS").exists())
-      Synth.pages(spark, cfg).write.mode("overwrite").parquet(inputDir)
+      Synth.pages(spark, cfg).repartition(64)
+        .write.mode("overwrite").parquet(inputDir)
     def readPages() = spark.read.parquet(inputDir).as[graft.model.PageRow]
 
     // warm-up: JIT + codegen compile out of the measured window
