@@ -175,7 +175,9 @@ object Incremental {
       "linked" -> "link-v1", "canon" -> "canon-v1",
       "triples" -> Pipeline.EmitVersion, "nodes" -> Pipeline.EmitVersion,
       "adjacency" -> Pipeline.EmitVersion,
-      "enriched" -> Pipeline.EnrichVersion)
+      "enriched" -> Pipeline.EnrichVersion,
+      "ann_ivf" -> graft.ops.AnnOps.ivfVersion(
+        Pipeline.AnnSeed, Pipeline.AnnCells, Pipeline.AnnDim))
     // version guard (mirrors Snapshot.stage's (snapshotId, version)
     // match): a manifest committed under a DIFFERENT stage version means
     // the stored table carries old semantics or an old schema — an
@@ -526,6 +528,21 @@ object Incremental {
         internalRows.write.mode(SaveMode.Overwrite)
           .partitionBy("bucket").parquet(enrichedDir)
       }
+    }
+
+    // ---- ann_ivf: the content-embedding index is a pure function of
+    // the page (url, text) set — rebuilt when any text or the url set
+    // moved (the same postNodePropsCk that drives the PAGE node props),
+    // skipped (manifest restamp only) otherwise. Full rebuild, not
+    // per-bucket: cells are content-derived, so an edited page can hop
+    // cells — the map-side embed + one partitioned write is cheap
+    // relative to any extraction pass.
+    if (force || existenceChanged || postNodePropsCk != preNodePropsCk) {
+      graft.ops.AnnOps.buildIvfIndex(spark, outDir,
+        Pipeline.pageTextEmbeddings(ex.drop("bucket").as[ExtractedPage]),
+        "id", "emb", newSnapshotId,
+        seed = Pipeline.AnnSeed, nCells = Pipeline.AnnCells,
+        dim = Pipeline.AnnDim)
     }
 
     // ---- urlhash: rewritten LAST of all data dirs. It is the diff base

@@ -140,6 +140,12 @@ object AnnOps {
     * hive-partitioned by cell id, resumable/idempotent like every other
     * stage. Cell assignment is map-side (no shuffle besides the
     * partitioned write's repartition by cell). */
+  /** Stage-version string of a materialized IVF index — the codebook
+    * parameters ARE the semantics, so they live in the version (a store
+    * committed under different parameters must rebuild, not resume). */
+  def ivfVersion(seed: Long, nCells: Int, dim: Int): String =
+    s"ivf-v1-s$seed-c$nCells-d$dim"
+
   def buildIvfIndex(
       spark: org.apache.spark.sql.SparkSession,
       baseDir: String,
@@ -147,7 +153,7 @@ object AnnOps {
       snapshotId: String,
       seed: Long = 42L, nCells: Int = 16, dim: Int = 64): DataFrame =
     graft.meta.Snapshot.stage(spark, baseDir, "ann_ivf", snapshotId,
-      s"ivf-v1-s$seed-c$nCells-d$dim", Seq("cell")) {
+      ivfVersion(seed, nCells, dim), Seq("cell")) {
       df.select(col(idCol).as("id"), col(embCol).as("emb"),
           ivfCell(col(embCol), seed, nCells, dim).as("cell"))
         .repartition(col("cell"))

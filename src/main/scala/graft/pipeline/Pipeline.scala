@@ -235,6 +235,35 @@ object Pipeline {
             bucketOf(col("node_id"), nBuckets)).otherwise(lit(-1L)))
         .repartition(col("bucket"))
     }
+
+    // ann_ivf: cell-partitioned IVF index over page-CONTENT embeddings
+    // (the summary embeddings are fake-constant here, so the content
+    // vector is the meaningful index key) — ≙ the reference's persisted
+    // vector index (neo4j_manager.py:226-230), as a first-class
+    // resumable stage; probes (AnnOps.ivfTopKIndexed) get partition
+    // pruning. Map-side embed + cell assignment; one partitioned write.
+    graft.ops.AnnOps.buildIvfIndex(spark, outDir,
+      pageTextEmbeddings(extracted.drop("bucket").as[ExtractedPage]),
+      "id", "emb", snapshotId,
+      seed = AnnSeed, nCells = AnnCells, dim = AnnDim)
     ()
+  }
+
+  /** IVF codebook parameters of the pipeline's ann_ivf stage (ONE
+    * frozen set — they are part of the stage version). */
+  val AnnSeed = 42L
+  val AnnCells = 16
+  val AnnDim = 384
+
+  /** (id = url, emb = content embedding) rows for the ann_ivf stage —
+    * deterministic FakeEmbedder over the extracted text (swap for a
+    * real embedder; the stage/probe shapes are embedder-agnostic). */
+  def pageTextEmbeddings(ex: Dataset[ExtractedPage]): DataFrame = {
+    val spark = ex.sparkSession
+    import spark.implicits._
+    val emb = new graft.enrich.Enrich.FakeEmbedder(AnnDim)
+    ex.toDF().select(col("url"), col("text")).as[(String, String)]
+      .map { case (u, t) => (u, emb.embed(t)) }
+      .toDF("id", "emb")
   }
 }

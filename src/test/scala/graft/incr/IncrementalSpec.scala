@@ -80,6 +80,12 @@ class IncrementalSpec extends SparkSpec {
       .select("node_id", "label", "summary").collect().map(_.toSeq).toSet
     enrichedOf(incDir) shouldBe enrichedOf(fullDir)
 
+    // the content-embedding index converges too (changed text → new
+    // embedding → possibly a new cell; deleted urls gone)
+    def annOf(dir: String) = spark.read.parquet(s"$dir/ann_ivf/data")
+      .select("id", "cell").collect().map(_.toSeq).toSet
+    annOf(incDir) shouldBe annOf(fullDir)
+
     // deleted page really gone; changed page's new mention present
     val t = triplesOf(incDir)
     t.exists(r => r.head.toString.endsWith("/7")) shouldBe false

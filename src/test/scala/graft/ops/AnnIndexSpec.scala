@@ -42,4 +42,30 @@ class AnnIndexSpec extends SparkSpec {
       "embedding", "snap-1") // limit(0): would be wrong if recomputed
     again.count() shouldBe emb.count()
   }
+
+  test("staged KG build materializes the content-embedding index; self-probe hits") {
+    import graft.pipeline.Pipeline
+    import graft.synth.{Synth, SynthConfig}
+    val cfg = SynthConfig(nPages = 40L, nSites = 3, nEntities = 15)
+    val dir = Files.createTempDirectory("graft-annstage").toString
+    Pipeline.build(spark, Synth.pages(spark, cfg),
+      Synth.aliases(spark, cfg), Synth.sameAs(spark, cfg), cfg.nPages,
+      dir, "snap-1", 4)
+    // the index exists as a cell-partitioned stage with a manifest
+    graft.meta.Snapshot.readManifest(s"$dir/ann_ivf")
+      .get.snapshotId shouldBe "snap-1"
+    new java.io.File(s"$dir/ann_ivf/data").list()
+      .count(_.startsWith("cell=")) should be > 1 // content varies cells
+    // self-probe: query with a page's own content embedding → that page
+    // is the top hit at cosine 1 (its own cell is the nearest centroid,
+    // so the pruned probe must include it)
+    val ex = spark.read.parquet(s"$dir/extracted/data")
+      .select("url", "text").orderBy("url").head()
+    val emb = new graft.enrich.Enrich.FakeEmbedder(Pipeline.AnnDim)
+    val q = emb.embed(ex.getString(1))
+    val top = AnnOps.ivfTopKIndexed(spark, dir, q, 3,
+      seed = Pipeline.AnnSeed, nCells = Pipeline.AnnCells).head()
+    top.getString(0) shouldBe ex.getString(0)
+    top.getDouble(1) shouldBe 1.0
+  }
 }
