@@ -48,5 +48,27 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         graft.functions.MinhashSig(exprs.head, k)
       }))
+    ext.injectFunction((
+      FunctionIdentifier("topk_sorted"),
+      new ExpressionInfo(classOf[graft.functions.TopKSorted].getCanonicalName,
+        "topk_sorted"),
+      (exprs: Seq[Expression]) => {
+        // aggregate: the analyzer wraps a returned AggregateFunction in
+        // its AggregateExpression during function resolution
+        if (exprs.length != 3)
+          throw new IllegalArgumentException(
+            s"topk_sorted expects (value, k, distinct), got ${exprs.length} args")
+        val k = exprs(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"topk_sorted k must be an integer literal, got $other")
+        }
+        val dist = exprs(2) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Boolean, _) => v
+          case other => throw new IllegalArgumentException(
+            s"topk_sorted distinct must be a boolean literal, got $other")
+        }
+        graft.functions.TopKSorted(exprs.head, k, dist)
+      }))
   }
 }

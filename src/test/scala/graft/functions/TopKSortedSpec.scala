@@ -74,6 +74,17 @@ class TopKSortedSpec extends SparkSpec {
     } finally TopKSorted.peakTracking = false
   }
 
+  test("SQL surface: topk_sorted registered via GraftExtensions") {
+    corpus.createOrReplaceTempView("tk_corpus")
+    val got = spark.sql(
+      """SELECT key, topk_sorted(value, 3, true) AS t
+        |FROM tk_corpus GROUP BY key""".stripMargin)
+    val want = corpus.groupBy($"key")
+      .agg(slice(array_sort(collect_set($"value")), 1, 3).as("t"))
+    got.join(want.withColumnRenamed("t", "w"), Seq("key"))
+      .filter(!($"t" <=> $"w")).count() shouldBe 0L
+  }
+
   test("serialize/deserialize round-trips the bounded buffer (spill path)") {
     val agg = TopKSorted(
       org.apache.spark.sql.graftbridge.ColumnBridge.expression(lit("x")),
