@@ -531,18 +531,47 @@ object Incremental {
     }
 
     // ---- ann_ivf: the content-embedding index is a pure function of
-    // the page (url, text) set — rebuilt when any text or the url set
+    // the page (url, text) set — refreshed when any text or the url set
     // moved (the same postNodePropsCk that drives the PAGE node props),
-    // skipped (manifest restamp only) otherwise. Full rebuild, not
-    // per-bucket: cells are content-derived, so an edited page can hop
-    // cells — the map-side embed + one partitioned write is cheap
-    // relative to any extraction pass.
-    if (force || existenceChanged || postNodePropsCk != preNodePropsCk) {
+    // skipped (manifest restamp only) otherwise. CELL-granular: cells
+    // are content-derived (an edited page can hop cells), but only the
+    // dirty pages' OLD cells and NEW cells change, and the stored rows
+    // already carry their embeddings — so the update re-embeds ONLY the
+    // dirty pages, reads only the affected cells (partition-pruned;
+    // ≤ nCells, collected), and dynamic-overwrites those cell
+    // partitions: keep = stored affected-cell rows minus touched ids,
+    // plus fresh rows. At 10^12 docs this touches ~|dirty|/|corpus| of
+    // the index instead of rebuilding it. Force (crash) rebuilds fully
+    // — the stored index is untrusted then.
+    val annDir = s"$outDir/ann_ivf/data"
+    if (force) {
       graft.ops.AnnOps.buildIvfIndex(spark, outDir,
         Pipeline.pageTextEmbeddings(ex.drop("bucket").as[ExtractedPage]),
         "id", "emb", newSnapshotId,
         seed = Pipeline.AnnSeed, nCells = Pipeline.AnnCells,
         dim = Pipeline.AnnDim)
+    } else if (existenceChanged || postNodePropsCk != preNodePropsCk) {
+      val freshRows = graft.ops.AnnOps.assignCells(
+        Pipeline.pageTextEmbeddings(
+          readExtracted(dirty).join(touchedUrls, Seq("url"), "left_semi")
+            .as[ExtractedPage]),
+        "id", "emb", Pipeline.AnnSeed, Pipeline.AnnCells, Pipeline.AnnDim)
+        .localCheckpoint()
+      val oldIdx = spark.read.parquet(annDir)
+      val tid = touchedUrls.withColumnRenamed("url", "id")
+      val oldCells = oldIdx.join(tid, Seq("id"), "left_semi")
+        .select(col("cell").cast("long")).distinct()
+        .collect().map(_.getLong(0)) // bounded by nCells
+      val newCells = freshRows.select(col("cell").cast("long")).distinct()
+        .collect().map(_.getLong(0))
+      val affected = (oldCells ++ newCells).distinct.sorted
+      if (affected.nonEmpty) {
+        val keep = oldIdx.filter(col("cell").isin(affected: _*))
+          .join(tid, Seq("id"), "left_anti")
+        // overwriteBucketsBy checkpoints first, severing the self-read
+        overwriteBucketsBy(spark, keep.unionByName(freshRows),
+          annDir, affected, "cell")
+      }
     }
 
     // ---- urlhash: rewritten LAST of all data dirs. It is the diff base
@@ -629,15 +658,23 @@ object Incremental {
     * no rows — a bucket whose rows all vanished must not survive stale. */
   private def overwriteBuckets(
       spark: SparkSession, df: DataFrame, dir: String,
-      scope: Seq[Long]): Unit = {
+      scope: Seq[Long]): Unit =
+    overwriteBucketsBy(spark, df, dir, scope, "bucket")
+
+  /** Same dynamic-partition-overwrite + delete-emptied-partitions
+    * protocol over an arbitrary partition column (the ann index
+    * partitions by `cell`, everything else by `bucket`). */
+  private def overwriteBucketsBy(
+      spark: SparkSession, df: DataFrame, dir: String,
+      scope: Seq[Long], pcol: String): Unit = {
     val dfc = df.localCheckpoint() // one materialization; severs self-reads
-    val written = dfc.select(col("bucket").cast("long")).distinct()
+    val written = dfc.select(col(pcol).cast("long")).distinct()
       .collect().map(_.getLong(0)).toSet
     withDynamicOverwrite(spark) {
-      dfc.repartition(col("bucket")).write.mode(SaveMode.Overwrite)
-        .partitionBy("bucket").parquet(dir)
+      dfc.repartition(col(pcol)).write.mode(SaveMode.Overwrite)
+        .partitionBy(pcol).parquet(dir)
     }
-    scope.filterNot(written).foreach(b => deletePath(spark, s"$dir/bucket=$b"))
+    scope.filterNot(written).foreach(b => deletePath(spark, s"$dir/$pcol=$b"))
   }
 
   /** Full replace of one pred sub-table (still bucket-partitioned). */

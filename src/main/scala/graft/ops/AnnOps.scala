@@ -146,6 +146,13 @@ object AnnOps {
   def ivfVersion(seed: Long, nCells: Int, dim: Int): String =
     s"ivf-v1-s$seed-c$nCells-d$dim"
 
+  /** (id, emb, cell) rows — map-side nearest-centroid assignment. */
+  def assignCells(
+      df: DataFrame, idCol: String, embCol: String,
+      seed: Long, nCells: Int, dim: Int): DataFrame =
+    df.select(col(idCol).as("id"), col(embCol).as("emb"),
+      ivfCell(col(embCol), seed, nCells, dim).as("cell"))
+
   def buildIvfIndex(
       spark: org.apache.spark.sql.SparkSession,
       baseDir: String,
@@ -154,8 +161,7 @@ object AnnOps {
       seed: Long = 42L, nCells: Int = 16, dim: Int = 64): DataFrame =
     graft.meta.Snapshot.stage(spark, baseDir, "ann_ivf", snapshotId,
       ivfVersion(seed, nCells, dim), Seq("cell")) {
-      df.select(col(idCol).as("id"), col(embCol).as("emb"),
-          ivfCell(col(embCol), seed, nCells, dim).as("cell"))
+      assignCells(df, idCol, embCol, seed, nCells, dim)
         .repartition(col("cell"))
     }
 

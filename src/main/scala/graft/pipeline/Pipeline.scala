@@ -120,21 +120,24 @@ object Pipeline {
       keepOrphans: Boolean = false): Unit = {
     import spark.implicits._
 
-    // per-url winning html fingerprint — lets the NEXT update diff
-    // against stored state instead of re-reading the old corpus
-    // (Incremental.updateFromStored)
-    Snapshot.stage(spark, outDir, "urlhash", snapshotId, "diff-v1",
-      Seq("bucket")) {
-      graft.incr.Incremental.urlHashes(pages)
-        .withColumn("bucket", bucketOf(col("url"), nBuckets))
-        .repartition(col("bucket"))
-    }
-
     val extracted = Snapshot.stage(spark, outDir, "extracted", snapshotId,
       Extract.StageVersion, Seq("bucket")) {
       Extract.run(pages).toDF()
         .withColumn("bucket", bucketOf(col("url"), nBuckets))
         .repartition(col("bucket"))
+    }
+
+    // per-url winning html fingerprint — lets the NEXT update diff
+    // against stored state instead of re-reading the old corpus
+    // (Incremental.updateFromStored). Derived from the committed
+    // extracted stage, NOT by re-hashing the input: extraction dedups
+    // on the same frozen (warc_ts, xxhash64(html)) key, so
+    // extracted.html_xxh64 IS the winning hash — value-identical to
+    // Incremental.urlHashes(pages) without a second full corpus scan
+    // (the scan+hash was ~12% of the 20k build by lineage wall_ms).
+    Snapshot.stage(spark, outDir, "urlhash", snapshotId, "diff-v1",
+      Seq("bucket")) {
+      extracted.select(col("url"), col("html_xxh64").as("h"), col("bucket"))
     }
 
     // mention candidates materialized once (≙ the reference's parse

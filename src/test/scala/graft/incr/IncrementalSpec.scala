@@ -149,6 +149,9 @@ class IncrementalSpec extends SparkSpec {
         "triples/data/pred=relates_to" ->
           fileSet(s"$dir/triples/data/pred=relates_to"))
     val beforeA = snap()
+    def annCells() = (0 until Pipeline.AnnCells)
+      .map(c => c -> fileSet(s"$dir/ann_ivf/data/cell=$c")).toMap
+    val annBefore = annCells()
 
     val dirtyA = Incremental.update(spark, oldPages, newP,
       Synth.aliases(spark, cfg), Synth.sameAs(spark, cfg), cfg.nPages,
@@ -160,6 +163,13 @@ class IncrementalSpec extends SparkSpec {
       if (k == s"extracted/data/bucket=$b") afterA(k) should not be v
       else afterA(k) shouldBe v // derived tables provably unchanged → skipped
     }
+    // the content-embedding index update is CELL-granular: one edited
+    // page touches at most its old + new cell partitions; the rest of
+    // the index is byte-untouched
+    val annAfter = annCells()
+    val changedCells = annBefore.count { case (c, v) => annAfter(c) != v }
+    changedCells should be >= 1
+    changedCells should be <= 2
 
     // scenario B: append an alias the page ALREADY mentions — candidates
     // and linked change (new mention position, support shifts) but only
