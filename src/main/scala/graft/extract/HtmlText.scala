@@ -32,9 +32,6 @@ import scala.util.matching.Regex
 object HtmlText {
   val VERSION = "extractor-v1"
 
-  private val comment: Regex = "(?s)<!--.*?-->".r
-  private val scriptStyle: Regex = "(?is)<(script|style)\\b[^>]*>.*?</\\1\\s*>".r
-
   private val BlockNames: Set[String] = {
     val names = Seq("p", "div", "br", "li", "ul", "ol", "tr", "td", "th",
       "table", "title", "head", "body", "html", "section", "article",
@@ -48,23 +45,114 @@ object HtmlText {
 
   def extract(html: Array[Byte]): String = extractFromString(decodeUtf8(html))
 
-  /** Perf note: steps 4-6 of the frozen v1 policy are implemented as
-    * fused single-pass scanners (tag pass, entity pass, whitespace pass)
-    * -- output byte-identical to the original regex cascade; equivalence
-    * is property-tested against the retained reference implementation
-    * (HtmlTextReferenceSpec) and the golden sha256 fixtures. Steps 2-3
-    * (comment / script-style excision) stay as regexes: their
-    * interleaving corner cases are not worth hand-replicating. */
+  /** Perf note: ALL of steps 2-6 of the frozen v1 policy are
+    * implemented as single-pass scanners (excision passes as of round
+    * 4, then the fused tag/entity/whitespace passes) -- output
+    * byte-identical to the original regex cascade; equivalence is
+    * property-tested against the retained reference implementation
+    * (HtmlTextEquivalenceSpec) and the golden sha256 fixtures. */
   def extractFromString(raw: String): String =
-    scanSteps(regexSteps(raw))
+    scanSteps(exciseSteps(raw))
 
-  /** Steps 2-3 (comment / script-style excision; the two remaining regex
-    * passes), exposed for step-level profiling. */
-  def regexSteps(raw: String): String = {
-    var s = raw
-    s = comment.replaceAllIn(s, "")
-    s = scriptStyle.replaceAllIn(s, "")
-    s
+  /** Steps 2-3 (comment / script-style excision), exposed for
+    * step-level profiling. Both are hand scans as of round 4 —
+    * value-identical to the original `(?s)<!--.*?-->` and
+    * `(?is)<(script|style)\b[^>]*>.*?</\1\s*>` regex passes, whose
+    * reference implementations are retained in test scope
+    * (HtmlTextReference) and fuzz-compared (HtmlTextEquivalenceSpec:
+    * corpus + 500 adversarial tag-soup cases incl. unterminated
+    * openers, nested other-kind openers, case-mixed close tags). */
+  def exciseSteps(raw: String): String =
+    stripScriptStyle(stripComments(raw))
+
+  /** Scan equivalent of `(?s)<!--.*?-->` → "": each `<!--` opener
+    * excises through the NEAREST following `-->` (non-greedy); an
+    * opener with no close survives literally (the regex finds no
+    * match). No-comment inputs return the same String instance. */
+  private[extract] def stripComments(s: String): String = {
+    var i = s.indexOf("<!--")
+    if (i < 0) return s
+    val sb = new java.lang.StringBuilder(s.length)
+    var from = 0
+    while (i >= 0) {
+      val close = s.indexOf("-->", i + 4)
+      if (close < 0) { // unterminated: keep the rest literally
+        sb.append(s, from, s.length)
+        return sb.toString
+      }
+      sb.append(s, from, i)
+      from = close + 3
+      i = s.indexOf("<!--", from)
+    }
+    sb.append(s, from, s.length)
+    sb.toString
+  }
+
+  /** Scan equivalent of `(?is)<(script|style)\b[^>]*>.*?</\1\s*>` → "":
+    * an opener is `<` + script|style (case-insensitive) + a non-word
+    * char boundary + a '>'-free attribute run + '>'; excision runs
+    * through the NEAREST following `</same-tag\s*>` (non-greedy,
+    * backreference = the opener's own tag). An opener whose close never
+    * comes (or that never closes its own '>') survives literally, and
+    * scanning continues INSIDE it — a later other-kind opener there
+    * still excises, exactly as the regex engine advancing one position
+    * on failure. */
+  private[extract] def stripScriptStyle(s: String): String = {
+    val n = s.length
+    def ciAt(i: Int, pat: String): Boolean = {
+      if (i + pat.length > n) return false
+      var k = 0
+      while (k < pat.length) {
+        if ((s.charAt(i + k) | 0x20) != pat.charAt(k)) return false
+        k += 1
+      }
+      true
+    }
+    def isSp(c: Char) =
+      c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+    // nearest close `</tag\s*>` at or after `start`; -1 if none
+    def findClose(start: Int, tag: String): Int = {
+      var j = s.indexOf('<', start)
+      while (j >= 0) {
+        if (j + 1 < n && s.charAt(j + 1) == '/' && ciAt(j + 2, tag)) {
+          var k = j + 2 + tag.length
+          while (k < n && isSp(s.charAt(k))) k += 1
+          if (k < n && s.charAt(k) == '>') return k + 1
+        }
+        j = s.indexOf('<', j + 1)
+      }
+      -1
+    }
+    var i = s.indexOf('<')
+    if (i < 0) return s
+    var sb: java.lang.StringBuilder = null
+    var from = 0
+    while (i >= 0) {
+      val tag =
+        if (ciAt(i + 1, "script")) "script"
+        else if (ciAt(i + 1, "style")) "style"
+        else null
+      var next = i + 1
+      if (tag != null) {
+        val afterName = i + 1 + tag.length
+        if (afterName >= n || !isWordChar(s.charAt(afterName))) {
+          var g = afterName // the opener's own '>': first '>' (([^>]*>)
+          while (g < n && s.charAt(g) != '>') g += 1
+          if (g < n) {
+            val end = findClose(g + 1, tag)
+            if (end >= 0) {
+              if (sb == null) sb = new java.lang.StringBuilder(n)
+              sb.append(s, from, i)
+              from = end
+              next = end
+            }
+          }
+        }
+      }
+      i = s.indexOf('<', next)
+    }
+    if (sb == null) s
+    else { sb.append(s, from, n); sb.toString }
   }
 
   /** Steps 4-7 (the fused scanners), exposed for step-level profiling.
@@ -276,9 +364,70 @@ object HtmlText {
   }
 
   /** Outgoing links: ordered, de-duplicated href="..." / href='...' values.
-    * (≙ include-edge extraction, reference: compilation_parser.py:106-111) */
+    * (≙ include-edge extraction, reference: compilation_parser.py:106-111)
+    *
+    * Single-pass scanner, value-identical to the retained regex
+    * reference [[extractLinksRef]] INCLUDING its backtracking
+    * semantics, which are part of the frozen v1 policy:
+    *  - `<a\b`: 'a'/'A' followed by a non-word char;
+    *  - `[^>]*\bhref`: the RIGHTMOST word-boundary "href" before the
+    *    tag's first '>' wins (greedy + backtrack), falling back left
+    *    when its `\s*=\s*("…"|'…')` suffix does not complete;
+    *  - the quoted VALUE may contain '>' (only the pre-href run is
+    *    '>'-free), and scanning resumes after the closing quote.
+    * Equivalence is fuzz-pinned (LinkExtractEquivalenceSpec) and the
+    * fixture goldens cover the corpus shapes. */
+  def extractLinks(html: Array[Byte]): Seq[String] =
+    extractLinksFromString(decodeUtf8(html))
+
+  def extractLinksFromString(s: String): Seq[String] = {
+    val n = s.length
+    val seen = scala.collection.mutable.LinkedHashSet.empty[String]
+    def wordCh(c: Char) = isWordChar(c)
+    def isSp(c: Char) = // Java regex \s (ASCII)
+      c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+    def hrefAt(p: Int): Boolean =
+      (s.charAt(p) | 0x20) == 'h' && (s.charAt(p + 1) | 0x20) == 'r' &&
+        (s.charAt(p + 2) | 0x20) == 'e' && (s.charAt(p + 3) | 0x20) == 'f'
+    var i = 0
+    while (i + 1 < n) {
+      if (s.charAt(i) == '<' && (s.charAt(i + 1) | 0x20) == 'a' &&
+        (i + 2 >= n || !wordCh(s.charAt(i + 2)))) {
+        // first '>' bounds the [^>]* run the href must live in
+        var gt = i + 2
+        while (gt < n && s.charAt(gt) != '>') gt += 1
+        // greedy backtracking: try candidates RIGHT-to-left
+        var p = math.min(gt, n) - 4
+        var matchedEnd = -1
+        var value: String = null
+        while (matchedEnd < 0 && p >= i + 3) {
+          if (hrefAt(p) && !wordCh(s.charAt(p - 1))) {
+            var k = p + 4
+            while (k < n && isSp(s.charAt(k))) k += 1
+            if (k < n && s.charAt(k) == '=') {
+              k += 1
+              while (k < n && isSp(s.charAt(k))) k += 1
+              if (k < n && (s.charAt(k) == '"' || s.charAt(k) == '\'')) {
+                val q = s.indexOf(s.charAt(k), k + 1)
+                if (q >= 0) { value = s.substring(k + 1, q); matchedEnd = q + 1 }
+              }
+            }
+          }
+          p -= 1
+        }
+        if (matchedEnd >= 0) {
+          if (value.nonEmpty) seen += value
+          i = matchedEnd
+        } else i += 1
+      } else i += 1
+    }
+    seen.toSeq
+  }
+
+  /** Retained regex reference for extractLinks (spec-pinned; the
+    * scanner must agree value-for-value, order included). */
   private val hrefRe: Regex = "(?i)<a\\b[^>]*\\bhref\\s*=\\s*(\"([^\"]*)\"|'([^']*)')".r
-  def extractLinks(html: Array[Byte]): Seq[String] = {
+  def extractLinksRef(html: Array[Byte]): Seq[String] = {
     val s = decodeUtf8(html)
     val seen = scala.collection.mutable.LinkedHashSet.empty[String]
     hrefRe.findAllMatchIn(s).foreach { m =>

@@ -75,12 +75,14 @@ object ExtractStepProbe {
     }
     t("decode") { htmls.foreach(HtmlText.decodeUtf8) }
     val strs = htmls.map(HtmlText.decodeUtf8)
-    t("comment+scriptStyle regexes") { strs.foreach(HtmlText.regexSteps) }
-    val afterRegex = strs.map(HtmlText.regexSteps)
+    t("comment+scriptStyle excision scans") { strs.foreach(HtmlText.exciseSteps) }
+    val afterRegex = strs.map(HtmlText.exciseSteps)
     t("fused scans (block/any/entities/ws)") {
       afterRegex.foreach(HtmlText.scanSteps)
     }
     t("full extractFromString") { strs.foreach(HtmlText.extractFromString) }
+    t("link scan (scanner)") { htmls.foreach(HtmlText.extractLinks) }
+    t("link scan (regex ref)") { htmls.foreach(HtmlText.extractLinksRef) }
     spark.stop()
   }
 }
