@@ -55,9 +55,12 @@ object Extract {
   }
 
   /** Version string of the persisted `extracted` stage: extractor
-    * semantics + row schema (the html_xxh64 column was added after
-    * extractor-v1 shipped — old-layout stage dirs must not be resumed). */
-  val StageVersion: String = HtmlText.VERSION + "+xxh64"
+    * semantics + row schema. Column semantics live here: `+xxh64` added
+    * the html_xxh64 column after extractor-v1 shipped; `+msgurl` froze
+    * the messy-url site() policy (query/fragment dropped, ASCII-only
+    * scheme strip) — `site` is a persisted column, so a partial build
+    * committed under the old semantics must rebuild, not resume. */
+  val StageVersion: String = HtmlText.VERSION + "+xxh64+msgurl"
 
   /** Version-adaptive strategy dispatch (P5) — ≙ the reference inspecting
     * the DATA, not configuration, to pick its parse strategy

@@ -8,15 +8,19 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.trees.UnaryLike
 import org.apache.spark.sql.catalyst.util.GenericArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
-/** Bounded top-K-smallest string aggregate: the sorted (ascending,
-  * UTF8 binary order — identical to `array_sort` on StringType) array of
-  * the `k` smallest values of `child` in the group, as a multiset
+/** Bounded top-K-smallest aggregate: the sorted (ascending, in the
+  * type's SQL order — identical to `array_sort`) array of the `k`
+  * smallest values of `child` in the group, as a multiset
   * (`distinct = false`, ≙ `slice(array_sort(collect_list(v)), 1, k)`) or
   * a set (`distinct = true`, ≙ `slice(array_sort(collect_set(v)), 1, k)`).
-  * Nulls contribute nothing, exactly like `collect_*`.
+  * Nulls contribute nothing, exactly like `collect_*`. Supported element
+  * types: string (UTF8 binary order), bigint, binary (unsigned
+  * lexicographic, then length — Spark's BinaryType order); a roll-up
+  * over any other payload type fails analysis loudly instead of
+  * regressing to the unbounded collect shape.
   *
   * Unlike the slice-after-collect shape — where the `collect_*` buffer
   * materializes the ENTIRE group before the slice projection truncates
@@ -47,20 +51,24 @@ case class TopKSorted(
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     child.dataType match {
-      case StringType =>
+      case StringType | LongType | BinaryType =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
       case other =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-          s"topk_sorted expects string, got $other")
+          s"topk_sorted expects string, bigint or binary, got $other")
     }
 
   override def createAggregationBuffer(): TopKSorted.Buffer =
-    new TopKSorted.Buffer(k, distinct)
+    new TopKSorted.Buffer(k, distinct, child.dataType)
 
   override def update(b: TopKSorted.Buffer, input: InternalRow): TopKSorted.Buffer = {
     val v = child.eval(input)
-    // clone: the UTF8String may point into a reused row buffer
-    if (v != null) b.insert(v.asInstanceOf[UTF8String].clone(), 1L)
+    // owned = false: a UTF8String may point into a reused row buffer, so
+    // the buffer clones it — but only on the path that actually stores
+    // it; insert's reject fast-path must not pay an allocation per row
+    // of a saturated head group (boxed longs are immutable and a
+    // BinaryType eval already copies out of the row — never cloned)
+    if (v != null) b.insert(v.asInstanceOf[AnyRef], 1L, owned = false)
     b
   }
 
@@ -92,9 +100,18 @@ case class TopKSorted(
     val it = b.map.entrySet().iterator()
     while (it.hasNext) {
       val e = it.next()
-      val bytes = e.getKey.getBytes
-      out.writeInt(bytes.length)
-      out.write(bytes)
+      child.dataType match {
+        case StringType =>
+          val bytes = e.getKey.asInstanceOf[UTF8String].getBytes
+          out.writeInt(bytes.length)
+          out.write(bytes)
+        case BinaryType =>
+          val bytes = e.getKey.asInstanceOf[Array[Byte]]
+          out.writeInt(bytes.length)
+          out.write(bytes)
+        case _ =>
+          out.writeLong(e.getKey.asInstanceOf[java.lang.Long].longValue())
+      }
       out.writeLong(e.getValue)
     }
     out.flush()
@@ -103,14 +120,24 @@ case class TopKSorted(
 
   override def deserialize(bytes: Array[Byte]): TopKSorted.Buffer = {
     val in = new DataInputStream(new java.io.ByteArrayInputStream(bytes))
-    val b = new TopKSorted.Buffer(k, distinct)
+    val b = new TopKSorted.Buffer(k, distinct, child.dataType)
     val n = in.readInt()
     var i = 0
     while (i < n) {
-      val len = in.readInt()
-      val arr = new Array[Byte](len)
-      in.readFully(arr)
-      b.insert(UTF8String.fromBytes(arr), in.readLong())
+      val v: AnyRef = child.dataType match {
+        case StringType =>
+          val len = in.readInt()
+          val arr = new Array[Byte](len)
+          in.readFully(arr)
+          UTF8String.fromBytes(arr)
+        case BinaryType =>
+          val len = in.readInt()
+          val arr = new Array[Byte](len)
+          in.readFully(arr)
+          arr
+        case _ => java.lang.Long.valueOf(in.readLong())
+      }
+      b.insert(v, in.readLong())
       i += 1
     }
     b
@@ -124,33 +151,72 @@ case class TopKSorted(
     copy(child = newChild)
 
   override def nullable: Boolean = false
-  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def dataType: DataType = ArrayType(child.dataType, containsNull = false)
   override def prettyName: String = "topk_sorted"
 }
 
 object TopKSorted {
   import org.apache.spark.sql.graftbridge.ColumnBridge
 
-  /** Bounded buffer: a TreeMap in UTF8 binary order (value → multiplicity)
-    * holding at most `k` elements counting multiplicity; inserting while
-    * full evicts from the largest key. Distinct mode caps every
-    * multiplicity at 1. */
-  final class Buffer(k: Int, distinct: Boolean) {
-    val map = new java.util.TreeMap[UTF8String, java.lang.Long]()
+  /** Element order of the buffer, matching `array_sort` on the type. */
+  private[functions] def orderingOf(dt: DataType): java.util.Comparator[AnyRef] =
+    dt match {
+      case StringType => (a: AnyRef, b: AnyRef) =>
+        a.asInstanceOf[UTF8String].compareTo(b.asInstanceOf[UTF8String])
+      case LongType => (a: AnyRef, b: AnyRef) =>
+        java.lang.Long.compare(
+          a.asInstanceOf[java.lang.Long].longValue(),
+          b.asInstanceOf[java.lang.Long].longValue())
+      case BinaryType => (a: AnyRef, b: AnyRef) =>
+        compareBinaryUnsigned(
+          a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+      case other => throw new IllegalStateException(s"topk_sorted: $other")
+    }
+
+  /** Unsigned lexicographic, shorter-prefix-first — Spark's BinaryType
+    * SQL ordering (TypeUtils.compareBinary semantics). */
+  private[functions] def compareBinaryUnsigned(a: Array[Byte], b: Array[Byte]): Int = {
+    val n = math.min(a.length, b.length)
+    var i = 0
+    while (i < n) {
+      val x = (a(i) & 0xff) - (b(i) & 0xff)
+      if (x != 0) return x
+      i += 1
+    }
+    a.length - b.length
+  }
+
+  /** Bounded buffer: a TreeMap in the element type's SQL order
+    * (value → multiplicity) holding at most `k` elements counting
+    * multiplicity; inserting while full evicts from the largest key.
+    * Distinct mode caps every multiplicity at 1. */
+  final class Buffer(k: Int, distinct: Boolean, dt: DataType) {
+    val map = new java.util.TreeMap[AnyRef, java.lang.Long](orderingOf(dt))
     var total: Long = 0L
 
-    def insert(v: UTF8String, count: Long): Unit = {
+    // borrowed strings are cloned ONLY when a new key is actually
+    // stored; TreeMap.put on an existing key keeps the old key object,
+    // so the increment path never needs a copy either
+    private def own(v: AnyRef, owned: Boolean): AnyRef =
+      if (owned) v
+      else dt match {
+        case StringType => v.asInstanceOf[UTF8String].clone()
+        case _ => v
+      }
+
+    def insert(v: AnyRef, count: Long, owned: Boolean = true): Unit = {
       // full and not smaller than the current max → cannot change the
       // top-k (equal-to-max: distinct already holds it; multiset would
       // add a copy only to evict it again in the trim)
-      if (total >= k && v.compareTo(map.lastKey()) >= 0) return
+      if (total >= k && map.comparator().compare(v, map.lastKey()) >= 0) return
       val prev = map.get(v)
       if (distinct) {
         if (prev != null) return
-        map.put(v, 1L)
+        map.put(own(v, owned), 1L)
         total += 1
       } else {
-        map.put(v, if (prev == null) count else prev + count)
+        if (prev != null) map.put(v, prev + count)
+        else map.put(own(v, owned), count)
         total += count
       }
       while (total > k) {

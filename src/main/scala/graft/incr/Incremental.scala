@@ -557,7 +557,10 @@ object Incremental {
             .as[ExtractedPage]),
         "id", "emb", Pipeline.AnnSeed, Pipeline.AnnCells, Pipeline.AnnDim)
         .localCheckpoint()
-      val oldIdx = spark.read.parquet(annDir)
+      // explicit schema like every other stage read here: a legitimately
+      // empty index (zero-page corpus) holds only _SUCCESS and a
+      // schema-less read fails with UNABLE_TO_INFER_SCHEMA
+      val oldIdx = spark.read.schema(annIvfSchema).parquet(annDir)
       val tid = touchedUrls.withColumnRenamed("url", "id")
       val oldCells = oldIdx.join(tid, Seq("id"), "left_semi")
         .select(col("cell").cast("long")).distinct()
@@ -614,6 +617,11 @@ object Incremental {
     .add("url", org.apache.spark.sql.types.StringType)
     .add("h", org.apache.spark.sql.types.LongType)
     .add("bucket", org.apache.spark.sql.types.LongType)
+  private val annIvfSchema = new org.apache.spark.sql.types.StructType()
+    .add("id", org.apache.spark.sql.types.StringType)
+    .add("emb", org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.FloatType, containsNull = false))
+    .add("cell", org.apache.spark.sql.types.IntegerType)
 
   private def readAliasDf(spark: SparkSession, adfDir: String): DataFrame =
     spark.read.schema(aliasdfSchema).parquet(adfDir)

@@ -24,6 +24,14 @@ import org.apache.spark.sql.functions._
   */
 object Mention {
 
+  /** Hard cap on the broadcast alias dictionary (rows). ~8M rows ≈
+    * a few hundred MB broadcast + driver stats — comfortably inside one
+    * executor; real entity dictionaries (Wikidata labels ~100M surface
+    * forms pruned to linkable heads) land well under this. Over the cap,
+    * [[detect]] fails with an actionable error instead of an opaque OOM
+    * (the contract is a broadcast-dictionary design, SURVEY.md §2 J2). */
+  val MaxDictRows: Int = 8 * 1000 * 1000
+
   def tokenize(text: String): Array[String] =
     text.toLowerCase(Locale.ROOT).split("[^a-z0-9]+").filter(_.nonEmpty)
 
@@ -31,7 +39,8 @@ object Mention {
 
   def detect(
       extracted: Dataset[ExtractedPage],
-      dict: Dataset[AliasRow]): Dataset[CandidateRow] = {
+      dict: Dataset[AliasRow],
+      maxDictRows: Int = MaxDictRows): Dataset[CandidateRow] = {
     val spark = extracted.sparkSession
     import spark.implicits._
 
@@ -48,9 +57,20 @@ object Mention {
     //    pages). An n-gram can only match if its FIRST token starts some
     //    alias, so a broadcast first-token set prunes start positions
     //    before any string is built. Semantics unchanged.
+    // take(cap+1), not collect(): the over-cap case must fail with a
+    // diagnosis BEFORE materializing a 100-GB dictionary on the driver
     val dictStats = dict
       .map(a => (aliasTokenCount(a.alias), tokenize(a.alias).headOption.getOrElse("")))
-      .collect()
+      .take(maxDictRows + 1)
+    if (dictStats.length > maxDictRows)
+      throw new IllegalStateException(
+        s"alias dictionary exceeds Mention.MaxDictRows = $maxDictRows rows. " +
+          "The linking contract (SURVEY.md §2 J2 / north_star) is a " +
+          "BROADCAST dictionary: every executor holds it whole and the " +
+          "driver collects per-alias stats. A dictionary this size needs " +
+          "the shuffle-join variant instead — partition aliases by first " +
+          "token and sort-merge against the n-gram stream — not a silent " +
+          "driver/executor OOM here.")
     if (dictStats.isEmpty) return spark.emptyDataset[CandidateRow]
     val maxLen = dictStats.iterator.map(_._1).max
     if (maxLen == 0) return spark.emptyDataset[CandidateRow]

@@ -169,11 +169,33 @@ object AnnOps {
     * PartitionFilter on the scan (plan-asserted), so only nProbe of the
     * nCells partition directories are read — at cluster scale the
     * difference between touching 25% and 100% of a 10^12-vector table.
-    * Same results as [[ivfTopK]] (identical assignment + probes). */
+    * Same results as [[ivfTopK]] (identical assignment + probes).
+    *
+    * The probe VALIDATES the store before trusting it: probe cells are
+    * computed from the caller's (seed, nCells), so a store committed
+    * under different codebook parameters — or a half-written dir with no
+    * manifest — would be silently probed with the wrong centroids and
+    * return plausible-but-wrong neighbors. The committed manifest's
+    * version must equal this probe's [[ivfVersion]] (the build side
+    * already rebuilds on mismatch; the read side fails loudly). */
   def ivfTopKIndexed(
       spark: org.apache.spark.sql.SparkSession,
       baseDir: String, query: Array[Float],
       k: Int, seed: Long = 42L, nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+    val want = ivfVersion(seed, nCells, query.length)
+    graft.meta.Snapshot.readManifest(s"$baseDir/ann_ivf") match {
+      case None => throw new IllegalStateException(
+        s"ann_ivf at $baseDir has no committed manifest — the index was " +
+          "never built (or a build crashed mid-write); run " +
+          "AnnOps.buildIvfIndex / Pipeline.build before probing")
+      case Some(m) if m.version != want => throw new IllegalStateException(
+        s"ann_ivf at $baseDir was committed under codebook version " +
+          s"'${m.version}' but this probe expects '$want' — probing with " +
+          "mismatched centroids would silently return wrong neighbors; " +
+          "rebuild the index with these (seed, nCells, dim) or probe with " +
+          "the committed parameters")
+      case Some(_) => ()
+    }
     val probes = probeCells(query, seed, nCells, nProbe)
     spark.read.parquet(s"$baseDir/ann_ivf/data")
       .filter(col("cell").isin(probes: _*))

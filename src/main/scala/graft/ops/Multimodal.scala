@@ -125,19 +125,24 @@ object Multimodal {
   def wavInfo(b: Array[Byte]): Option[WavInfo] = {
     if (b.length < 12 || sniffFormat(b) != "wav") return None
     var sr = 0; var ch = 0; var bps = 0; var dataSize = -1L
-    var i = 12
+    // Long offsets: declared chunk sizes are attacker-controlled unsigned
+    // 32-bit values — Int arithmetic on a size just under 2^31 wraps the
+    // next offset negative and the following 4-byte fourCC read throws.
+    // With Long math an oversized/truncated final chunk simply ends the
+    // walk (its own parse already clamps to the bytes present).
+    var i = 12L
     while (i + 8 <= b.length) {
-      val fourCC = new String(b, i, 4, "ISO-8859-1")
-      val size = le32(b, i + 4).toLong & 0xFFFFFFFFL
-      val p = i + 8
+      val ii = i.toInt // i + 8 <= b.length, so i fits an Int
+      val fourCC = new String(b, ii, 4, "ISO-8859-1")
+      val size = le32(b, ii + 4).toLong & 0xFFFFFFFFL
+      val p = ii + 8
       fourCC match {
         case "fmt " if p + 16 <= b.length =>
           ch = le16(b, p + 2); sr = le32(b, p + 4); bps = le16(b, p + 14)
         case "data" => dataSize = math.min(size, (b.length - p).toLong)
         case _ => ()
       }
-      i = p + size.toInt + (size.toInt & 1) // chunks are even-padded
-      if (size > Int.MaxValue) return None
+      i = p.toLong + size + (size & 1L) // chunks are even-padded
     }
     if (sr > 0 && ch > 0 && bps > 0 && dataSize >= 0)
       Some(WavInfo(sr, ch, bps, dataSize / (ch.toLong * bps / 8)))
@@ -148,14 +153,17 @@ object Multimodal {
     * every sample of every channel. */
   def wavRms(b: Array[Byte]): Option[Double] = {
     if (wavInfo(b).forall(_.bitsPerSample != 16)) return None
-    // locate the data chunk again (single pass kept simple)
-    var i = 12
+    // locate the data chunk again (single pass kept simple); same
+    // Long-offset walk as wavInfo — the unsigned size cannot go
+    // negative, so n >= 0 by construction and the next offset never wraps
+    var i = 12L
     while (i + 8 <= b.length) {
-      val fourCC = new String(b, i, 4, "ISO-8859-1")
-      val size = le32(b, i + 4)
-      val p = i + 8
+      val ii = i.toInt
+      val fourCC = new String(b, ii, 4, "ISO-8859-1")
+      val size = le32(b, ii + 4).toLong & 0xFFFFFFFFL
+      val p = ii + 8
       if (fourCC == "data") {
-        val n = math.min(size, b.length - p) / 2
+        val n = (math.min(size, (b.length - p).toLong) / 2L).toInt
         if (n == 0) return Some(0.0)
         var sum = 0.0
         var k = 0
@@ -166,8 +174,7 @@ object Multimodal {
         }
         return Some(math.sqrt(sum / n))
       }
-      i = p + size + (size & 1)
-      if (size < 0) return None
+      i = p.toLong + size + (size & 1L)
     }
     None
   }

@@ -85,9 +85,55 @@ class TopKSortedSpec extends SparkSpec {
       .filter(!($"t" <=> $"w")).count() shouldBe 0L
   }
 
+  test("bigint elements: agreement with slice(array_sort(collect_*)) + structural bound") {
+    val longs = (0 until 3000).map(i => ("head", ((i * 37) % 700).toLong)) ++
+      (0 until 100).flatMap(g => (0 to g % 5).map(j => (s"g$g", (j * 13 + g).toLong)))
+    val df = longs.toDF("key", "value")
+    TopKSorted.resetPeak()
+    TopKSorted.peakTracking = true
+    try {
+      for (distinct <- Seq(true, false)) {
+        val got = df.groupBy($"key")
+          .agg(topk_sorted($"value", 9, distinct).as("t"))
+        val want = df.groupBy($"key").agg(slice(array_sort(
+          if (distinct) collect_set($"value") else collect_list($"value")), 1, 9).as("t"))
+        got.join(want.withColumnRenamed("t", "w"), Seq("key"))
+          .filter(!($"t" <=> $"w")).count() shouldBe 0L
+      }
+      TopKSorted.observedPeak should be <= 10 // cap + transient pre-trim insert
+    } finally TopKSorted.peakTracking = false
+  }
+
+  test("binary elements: agreement with slice(array_sort(collect_*)) (unsigned byte order)") {
+    // bytes above 0x7f exercise the UNSIGNED comparison (signed would
+    // sort 0x80.. before 0x01..); prefix pairs exercise shorter-first
+    val bins = (0 until 500).map { i =>
+      val b = Array[Byte](((i * 131) % 256).toByte, ((i * 17) % 256).toByte)
+      ("head", if (i % 11 == 0) b.take(1) else b)
+    } ++ (0 until 40).map(g => (s"g${g % 7}", Array[Byte]((g % 256).toByte)))
+    val df = bins.toDF("key", "value")
+    for (distinct <- Seq(true, false)) {
+      val got = df.groupBy($"key")
+        .agg(topk_sorted($"value", 6, distinct).as("t"))
+      val want = df.groupBy($"key").agg(slice(array_sort(
+        if (distinct) collect_set($"value") else collect_list($"value")), 1, 6).as("t"))
+      got.join(want.withColumnRenamed("t", "w"), Seq("key"))
+        .filter(!($"t" <=> $"w")).count() shouldBe 0L
+    }
+  }
+
+  test("unsupported element type fails analysis loudly (no unbounded fallback)") {
+    val df = Seq(("a", 1.5), ("a", 2.5)).toDF("key", "value")
+    val e = intercept[Exception] {
+      df.groupBy($"key").agg(topk_sorted($"value", 3, distinct = true)).collect()
+    }
+    e.getMessage should include("topk_sorted")
+  }
+
   test("serialize/deserialize round-trips the bounded buffer (spill path)") {
     val agg = TopKSorted(
-      org.apache.spark.sql.graftbridge.ColumnBridge.expression(lit("x")),
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        "x", org.apache.spark.sql.types.StringType),
       4, distinct = false)
     val b = agg.createAggregationBuffer()
     Seq("d", "b", "c", "a", "b", "e").foreach(s =>

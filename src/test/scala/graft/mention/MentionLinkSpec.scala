@@ -50,6 +50,19 @@ class MentionLinkSpec extends SparkSpec {
     linked.collect { case ("pied piper", e) => e }.toSet shouldBe Set(1L)
   }
 
+  test("over-cap alias dictionary fails with the named broadcast-contract error") {
+    val pages = spark.createDataset(Seq(page("u1", "alias2 text")))
+    val dict = spark.createDataset(
+      (0L until 5L).map(i => AliasRow(s"alias$i", i, 0.5)))
+    val e = intercept[IllegalStateException] {
+      Mention.detect(pages, dict, maxDictRows = 3).count()
+    }
+    e.getMessage should include("MaxDictRows")
+    e.getMessage should include("BROADCAST")
+    // at (or under) the cap the same dictionary works
+    Mention.detect(pages, dict, maxDictRows = 5).count() shouldBe 1L
+  }
+
   test("empty alias dictionary yields empty candidates, not an NPE") {
     val pages = spark.createDataset(Seq(page("u1", "some text here")))
     val dict = spark.emptyDataset[AliasRow]

@@ -43,6 +43,35 @@ class AnnIndexSpec extends SparkSpec {
     again.count() shouldBe emb.count()
   }
 
+  test("probe validates the committed codebook: mismatched parameters throw, never mis-probe") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val q = emb.filter(col("vec_id") === 0)
+      .head().getAs[Seq[Float]]("embedding").toArray
+    val base = Files.createTempDirectory("graft-annver").toString
+    AnnOps.buildIvfIndex(spark, base, emb, "vec_id", "embedding", "snap-1",
+      seed = 7L, nCells = 8, dim = q.length)
+
+    // probing a store committed under different codebook parameters
+    // would compute probe cells from the WRONG centroids — it must fail
+    // loudly, not return plausible neighbors
+    val e = intercept[IllegalStateException] {
+      AnnOps.ivfTopKIndexed(spark, base, q, 5, seed = 42L, nCells = 16)
+    }
+    e.getMessage should include("codebook version")
+    e.getMessage should include(AnnOps.ivfVersion(7L, 8, q.length))
+
+    // a missing manifest (never built / crashed mid-write) also throws
+    val empty = Files.createTempDirectory("graft-annnone").toString
+    val e2 = intercept[IllegalStateException] {
+      AnnOps.ivfTopKIndexed(spark, empty, q, 5)
+    }
+    e2.getMessage should include("no committed manifest")
+
+    // matching parameters still probe fine
+    AnnOps.ivfTopKIndexed(spark, base, q, 5, seed = 7L, nCells = 8)
+      .count() shouldBe 5L
+  }
+
   test("staged KG build materializes the content-embedding index; self-probe hits") {
     import graft.pipeline.Pipeline
     import graft.synth.{Synth, SynthConfig}

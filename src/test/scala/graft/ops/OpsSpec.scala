@@ -519,4 +519,38 @@ class OpsSpec extends SparkSpec {
     Multimodal.wavInfo("RIFF   WEBP"
       .getBytes("ISO-8859-1")) shouldBe None
   }
+
+  test("wav: adversarial declared chunk sizes never crash the decode") {
+    def le32b(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte,
+      (v >> 16).toByte, (v >> 24).toByte)
+    def le16b(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+    val fmt = "fmt ".getBytes("US-ASCII") ++ le32b(16) ++
+      le16b(1) ++ le16b(1) ++ le32b(8000) ++ le32b(16000) ++
+      le16b(2) ++ le16b(16)
+    val head = "RIFF".getBytes("US-ASCII") ++ le32b(1000) ++
+      "WAVE".getBytes("US-ASCII")
+    // a declared size just under 2^31: Int arithmetic would wrap the
+    // next offset negative and the following fourCC read would throw --
+    // the Long walk just runs off the end (no fmt/data parsed -> None)
+    val overflow = head ++ "LIST".getBytes("US-ASCII") ++
+      le32b(0x7FFFFFF0) ++ Array[Byte](0, 0, 0, 0)
+    noException should be thrownBy Multimodal.wavInfo(overflow)
+    Multimodal.wavInfo(overflow) shouldBe None
+    noException should be thrownBy Multimodal.wavRms(overflow)
+    // declared data size with the sign bit set (unsigned > 2^31): the
+    // unsigned Long read clamps to the bytes present instead of
+    // producing a negative size (wavRms used to yield Some(-0.0))
+    val bigData = head ++ fmt ++ "data".getBytes("US-ASCII") ++
+      le32b(0xFFFFFFF0) ++ le16b(300) ++ le16b(-400 & 0xFFFF)
+    val info = Multimodal.wavInfo(bigData).get
+    info.nSamples shouldBe 2L
+    Multimodal.wavRms(bigData).get shouldBe
+      math.sqrt((300.0 * 300 + 400.0 * 400) / 2)
+    // truncated data chunk (declared larger than the payload): clamped
+    // parse, unchanged policy
+    val truncated = head ++ fmt ++ "data".getBytes("US-ASCII") ++
+      le32b(100) ++ le16b(300)
+    Multimodal.wavInfo(truncated).get.nSamples shouldBe 1L
+    Multimodal.wavRms(truncated).get shouldBe 300.0
+  }
 }
