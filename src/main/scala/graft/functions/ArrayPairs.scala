@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StructField, StructType}
 
@@ -19,9 +19,12 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StructField, S
   * per-element lambda tree that allocates a sliced array per anchor.
   * Null elements are not expected (callers build the array from
   * collect_set) and are rejected loudly rather than mis-paired.
+  * doGenCode keeps the flagship emit projection this runs in inside
+  * whole-stage codegen (the generated code calls `compute` on a
+  * referenced instance).
   */
 case class ArrayPairs(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(
     StructType(Seq(StructField("x", LongType, nullable = false),
@@ -37,8 +40,16 @@ case class ArrayPairs(child: Expression)
           s"array_pairs expects array<bigint>, got $other")
     }
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("arrayPairs", this, classOf[ArrayPairs].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  def compute(input: ArrayData): ArrayData = {
+    val arr = input
     val n = arr.numElements()
     val vs = new Array[Long](n)
     var i = 0

@@ -3,7 +3,7 @@ package graft.functions
 import graft.ops.TextOps
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types.{DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -19,10 +19,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * lowered text (multi-byte UTF-8 bytes are non-word chars and thus
   * boundaries). One byte scan replaces 4 regex passes × the CASE
   * tree's recomputation of each count (profiled 1.5 s → ~0.1 s at
-  * sf0.1).
+  * sf0.1). doGenCode keeps the surrounding projection inside
+  * whole-stage codegen (the generated code calls `compute` on a
+  * referenced instance).
   */
 case class LangId(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = StringType
 
@@ -36,8 +38,16 @@ case class LangId(child: Expression)
           s"lang_id expects string, got $other")
     }
 
-  override def nullSafeEval(input: Any): Any = {
-    val bytes = input.asInstanceOf[UTF8String].toLowerCase.getBytes
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("langId", this, classOf[LangId].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  def compute(input: UTF8String): UTF8String = {
+    val bytes = input.toLowerCase.getBytes
     val counts = new Array[Int](LangId.langs.length)
     var i = 0
     val n = bytes.length

@@ -2,8 +2,8 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -20,10 +20,12 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * One string scan instead of a regexp_replace + split + interpreted
   * transform/slice/array_join tree per row — this runs per url in the
-  * flagship emit path.
+  * flagship emit path, so doGenCode keeps the surrounding projection
+  * inside whole-stage codegen (the generated code calls `compute` on a
+  * referenced instance, same pattern as MinhashSig).
   */
 case class PathPrefixes(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 
@@ -37,8 +39,16 @@ case class PathPrefixes(child: Expression)
           s"path_prefixes expects string, got $other")
     }
 
-  override def nullSafeEval(input: Any): Any = {
-    val url = input.asInstanceOf[UTF8String].toString
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pathPrefixes", this, classOf[PathPrefixes].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  def compute(input: UTF8String): ArrayData = {
+    val url = input.toString
     val path = PathPrefixes.pathPart(url)
     // split points = '/' positions; prefixes end just before each one
     val slashes = new scala.collection.mutable.ArrayBuffer[Int]()

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 
@@ -11,10 +11,12 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
   * UDF reference, spec-pinned): token hash = first 8 bytes of
   * md5(utf8), big-endian signed; per-bit majority vote, ties → 0.
   * One loop with a thread-local digest instead of a Scala UDF paying
-  * the codegen-boundary Seq[String] conversion per row.
+  * the codegen-boundary Seq[String] conversion per row; doGenCode keeps
+  * the surrounding projection inside whole-stage codegen (the generated
+  * code calls `compute` on a referenced instance).
   */
 case class SimHash64(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = LongType
 
@@ -28,8 +30,16 @@ case class SimHash64(child: Expression)
           s"simhash64 expects array<string>, got $other")
     }
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("simHash64", this, classOf[SimHash64].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  def compute(input: ArrayData): Long = {
+    val arr = input
     val n = arr.numElements()
     val md = SimHash64.digests.get()
     val tally = new Array[Int](64)

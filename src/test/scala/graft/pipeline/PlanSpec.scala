@@ -77,6 +77,54 @@ class PlanSpec extends SparkSpec {
     p2 should include("*(1) Project")
   }
 
+  test("round-5 codegen tier: path_prefixes/simhash64/lang_id/array_pairs stay inside WholeStageCodegen") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    plan(docs.select(graft.functions.PathPrefixes.path_prefixes(
+      concat(lit("https://ex.com/"), $"doc_id")).as("p"))) should include("*(1) Project")
+    plan(docs.select(graft.functions.SimHash64.simhash64(
+      TextOps.tokens($"text")).as("s"))) should include("*(1) Project")
+    plan(docs.select(graft.functions.LangId.lang_id($"text").as("l"))) should
+      include("*(1) Project")
+    plan(docs.select(graft.functions.ArrayPairs.array_pairs(
+      array(xxhash64($"doc_id"), xxhash64($"text"))).as("pr"))) should
+      include("*(1) Project")
+  }
+
+  test("no interpreted boundary on the flagship emit/enrich hot path (all native exprs codegen)") {
+    // the full projections the KG build runs per row/page: every plan
+    // line that evaluates one of the native expressions must carry the
+    // '*(n)' WholeStageCodegen prefix — an interpreted Project sneaking
+    // in would put an eval() boundary on the 10^12-row path
+    val native = Seq("path_prefixes", "array_pairs", "minhash_sig",
+      "simhash64", "lang_id", "word_shingles", "vec_dot", "percent_decode")
+    def assertNoInterpretedNative(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
+      // execute THIS frame first (collect, not count — count builds its
+      // own QueryExecution): under AQE the '*(n)' codegen markers exist
+      // only on the FINALIZED plan — pre-execution every Project prints
+      // bare and the assert would see false positives
+      df.collect()
+      // drop AQE's echoed "== Initial Plan ==" section — only the final
+      // (executed) operators carry codegen markers
+      val lines = plan(df).split("== Initial Plan ==").head.linesIterator.toSeq
+      val offenders = lines.filter(l =>
+        native.exists(l.contains) &&
+          l.contains("Project [") && !l.contains("*("))
+      withClue(s"$name interpreted-Project lines:\n${offenders.mkString("\n")}\n") {
+        offenders shouldBe empty
+      }
+    }
+    val cfg = SynthConfig(nPages = 50L)
+    val g = Pipeline.run(Synth.pages(spark, cfg), Synth.aliases(spark, cfg),
+      Synth.sameAs(spark, cfg), cfg.nPages)
+    try {
+      assertNoInterpretedNative("triples", g.triples.toDF())
+      val lt = g.triples.toDF().filter(col("pred") === "links_to")
+        .select(col("subj"), col("obj"))
+      assertNoInterpretedNative("enriched",
+        graft.enrich.Enrich.nodeEnrichment(g.extracted, lt))
+    } finally g.unpersist()
+  }
+
   test("pipeline triples read the cached extraction (InMemoryTableScan), not a re-extract") {
     val cfg = SynthConfig(nPages = 50L)
     val g = Pipeline.run(Synth.pages(spark, cfg), Synth.aliases(spark, cfg),
