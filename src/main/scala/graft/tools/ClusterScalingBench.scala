@@ -38,7 +38,12 @@ object ClusterScalingBench {
       "java.base/java.util.concurrent.atomic",
       "java.base/sun.nio.ch", "java.base/sun.nio.cs",
       "java.base/sun.security.action", "java.base/sun.util.calendar")
-      .map(p => s"--add-opens=$p=ALL-UNNAMED").mkString(" ")
+      .map(p => s"--add-opens=$p=ALL-UNNAMED").mkString(" ") +
+      // a real cluster caps each executor's visible CPUs (cgroups); a
+      // local-cluster executor JVM sees all 32 host cores and sizes its
+      // GC/JIT/netty pools for them — 4 workers would spawn 4 full-size
+      // pool sets and thrash during pauses. Cap to the granted cores.
+      s" -XX:ActiveProcessorCount=$coresPerWorker"
 
     // per-executor memory (MB): same on every config so the N→4N story
     // compares equal executors, only more of them
@@ -59,15 +64,11 @@ object ClusterScalingBench {
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
 
-    val cfg = SynthConfig(nPages = nPages, nSites = 50, nEntities = 1000,
-      fillerParas = 30, mentionSlots = 12)
+    val cfg = graft.synth.BenchInput.cfg(nPages)
     // one fixed 64-file layout regardless of generating session: a table
     // written by a 2-core session would otherwise cap scan parallelism at
     // a handful of row-group splits and silently wreck the scaling story
-    val inputDir = s"/dev/shm/graft-bench-input-$nPages"
-    if (!new java.io.File(s"$inputDir/_SUCCESS").exists())
-      Synth.pages(spark, cfg).repartition(64)
-        .write.mode("overwrite").parquet(inputDir)
+    val inputDir = graft.synth.BenchInput.ensure(spark, nPages)
     def readPages() = spark.read.parquet(inputDir).as[graft.model.PageRow]
 
     val warm = Pipeline.run(readPages().limit(1000),

@@ -36,12 +36,8 @@ object IncrementalBench {
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
 
-    val cfg = SynthConfig(nPages = nPages, nSites = 50, nEntities = 1000,
-      fillerParas = 30, mentionSlots = 12)
-    val inputDir = s"/dev/shm/graft-bench-input-$nPages"
-    if (!new java.io.File(s"$inputDir/_SUCCESS").exists())
-      Synth.pages(spark, cfg).repartition(64)
-        .write.mode("overwrite").parquet(inputDir)
+    val cfg = graft.synth.BenchInput.cfg(nPages)
+    val inputDir = graft.synth.BenchInput.ensure(spark, nPages)
     def oldPages() = spark.read.parquet(inputDir).as[graft.model.PageRow]
     val changed = (1 to nChanged).map(i => s"/${i * 7}")
     def newPages() = oldPages().map { p =>

@@ -37,17 +37,13 @@ object ScalingBench {
     // Realistic page shape (tens of KB, ~6 mentions/page) — see
     // SynthConfig scaladoc; the fixture defaults are unrealistically
     // light and make the job overhead-bound instead of extract-bound.
-    val cfg = SynthConfig(nPages = nPages, nSites = 50, nEntities = 1000,
-      fillerParas = 30, mentionSlots = 12)
+    val cfg = graft.synth.BenchInput.cfg(nPages)
 
     // The north rule's input is a TABLE of web pages, not a generator —
     // materialize the corpus to parquet once (unmeasured; shared across
     // parallelism levels) and measure the pipeline reading it.
     import spark.implicits._
-    val inputDir = s"/dev/shm/graft-bench-input-$nPages"
-    if (!new java.io.File(s"$inputDir/_SUCCESS").exists())
-      Synth.pages(spark, cfg).repartition(64)
-        .write.mode("overwrite").parquet(inputDir)
+    val inputDir = graft.synth.BenchInput.ensure(spark, nPages)
     def readPages() = spark.read.parquet(inputDir).as[graft.model.PageRow]
 
     // warm-up: JIT + codegen compile out of the measured window
