@@ -92,14 +92,87 @@ object Extract {
   def runAuto(pages: Dataset[PageRow]): Dataset[ExtractedPage] =
     run(pages, inferExtractor(pages))
 
-  /** Extract FIRST (pure map over input splits — the html payload never
-    * crosses a shuffle), then url-dedup on the much smaller extracted
-    * rows. Duplicate urls are ~2% of a crawl, so the surplus extraction
-    * is cheap; shuffling multi-KB html bodies is not. Keep-latest
-    * tie-break: max (warc_ts, xxhash64(html)) — the ONE frozen total-order
-    * key, shared with dedupLatest and Incremental.diff (an 8-byte hash
-    * rides the shuffle instead of the html body). */
+  /** Hard cap on the driver-collected contested-winner table (urls with
+    * more than one crawl row): ~4M entries ≈ a few hundred MB broadcast.
+    * Crawl batches dedup within a capture window, so contested urls are
+    * a small percentage of the batch; over the cap [[run]] falls back to
+    * the wide-shuffle plan, which is correct at any scale. */
+  val MaxContestedUrls: Int = 4 * 1000 * 1000
+
+  /** Url-dedup + extraction with a KEY-WIDTH dedup pass (round-5 scaling
+    * lever — the ~12 KB/row extracted-record shuffle was the cluster
+    * scaling tail once extraction itself went scanner-fast):
+    *
+    *  1. Pass 1 shuffles only (url, warc_ts, xxhash64(html)) — ~40 bytes
+    *     per row — and keeps just the CONTESTED urls (count > 1, ~2% of
+    *     a crawl batch) with their winning key. Two-level aggregate, so
+    *     the per-url `max_by` key is unique and the pick deterministic.
+    *  2. Pass 2 re-scans the input, drops loser rows with a broadcast
+    *     winner-key probe (uncontested urls pass untouched — no lookup
+    *     miss cost beyond a hash probe), and extracts ONLY the winners
+    *     map-side. The extracted rows never cross a shuffle; losers are
+    *     never extracted at all (the old plan extracted them first and
+    *     discarded them after the wide shuffle).
+    *
+    * The keep-latest tie-break is unchanged and shared: max (warc_ts,
+    * xxhash64(html)) — the ONE frozen total-order key of dedupLatest and
+    * Incremental.diff (Det.xxh64Bytes ≡ SQL xxhash64). The rare url whose
+    * winning key is held by SEVERAL rows (byte-identical captures) is
+    * routed to the legacy wide-shuffle plan — decided at the driver, so
+    * the common case plans no second branch at all. A contested set over
+    * [[MaxContestedUrls]] (pathological batch) also falls back to the
+    * wide plan rather than overfilling the driver.
+    *
+    * ≙ reference chunk-merge dedup (clangd_index_yaml_parser.py:355-372
+    * "last wins" dict insert), re-shaped so the merge key is 40 bytes
+    * instead of the record. */
   def run(
+      pages: Dataset[PageRow],
+      extractor: TextExtractor = HtmlTextExtractor): Dataset[ExtractedPage] = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    // pass 1 (narrow shuffle): exact-key multiplicities, then per-url
+    // winner + the winner's multiplicity; contested urls only
+    val keyCounts = pages.toDF()
+      .select($"url", $"warc_ts", xxhash64($"html").as("h"))
+      .groupBy($"url", $"warc_ts", $"h").agg(count(lit(1)).as("c"))
+    val contested = keyCounts.groupBy($"url")
+      .agg(sum($"c").as("n"),
+        max_by(struct($"warc_ts", $"h", $"c"), struct($"warc_ts", $"h")).as("w"))
+      .filter($"n" > 1)
+      .select($"url", $"w.warc_ts", $"w.h", $"w.c")
+      .take(MaxContestedUrls + 1)
+    if (contested.length > MaxContestedUrls) return runWideShuffle(pages, extractor)
+
+    // url → (winning warc_ts, winning html hash, winner-key tie?)
+    val winners = new java.util.HashMap[String, (java.sql.Timestamp, Long, Boolean)](
+      contested.length * 2 + 16)
+    contested.foreach(r =>
+      winners.put(r.getString(0), (r.getTimestamp(1), r.getLong(2), r.getLong(3) > 1L)))
+    val winnersB = spark.sparkContext.broadcast(winners)
+    val main = pages
+      .filter { p =>
+        val w = winnersB.value.get(p.url)
+        w == null ||
+          (!w._3 && w._1.equals(p.warc_ts) && w._2 == graft.util.Det.xxh64Bytes(p.html))
+      }
+      .map(p => extractOne(p, extractor))
+    val tied = contested.filter(_.getLong(3) > 1L).map(_.getString(0)).toSet
+    if (tied.isEmpty) main
+    else { // byte-identical duplicate captures: only THEIR rows take the
+           // legacy wide plan (filter keeps >1 row per such url)
+      val tiedB = spark.sparkContext.broadcast(tied)
+      main.union(
+        runWideShuffle(pages.filter(p => tiedB.value.contains(p.url)), extractor))
+    }
+  }
+
+  /** The pre-round-5 plan: extract every row map-side, then one wide
+    * shuffle of the full extracted records with a `max_by` hash
+    * aggregate. Correct at any contested-set size (nothing driver-side);
+    * kept as the fallback for [[run]]'s capped paths and as the
+    * agreement reference in ExtractDedupSpec. */
+  private[graft] def runWideShuffle(
       pages: Dataset[PageRow],
       extractor: TextExtractor = HtmlTextExtractor): Dataset[ExtractedPage] = {
     val spark = pages.sparkSession

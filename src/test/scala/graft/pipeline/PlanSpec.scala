@@ -186,10 +186,17 @@ class PlanSpec extends SparkSpec {
     } finally g.unpersist()
   }
 
-  test("url-dedup aggregates partially before the exchange (map-side combine)") {
+  test("url-dedup: extracted records never cross a shuffle (key-width pass)") {
     val cfg = SynthConfig(nPages = 50L)
+    // round 5: the winner keys are found in a separate narrow-key pass;
+    // the RETURNED plan is scan → broadcast-probe filter → extract, with
+    // no Exchange of extracted records at all (the old plan shuffled the
+    // full ~12 KB rows — the measured cluster scaling tail)
     val p = plan(graft.extract.Extract.run(Synth.pages(spark, cfg)).toDF())
-    // partial_max_by before the shuffle, final after — two HashAggregates
-    p.split("Exchange").head should include("max_by")
+    p should not include "Exchange"
+    // the wide-shuffle fallback keeps its map-side combine: partial
+    // max_by before the exchange, final after
+    val pw = plan(graft.extract.Extract.runWideShuffle(Synth.pages(spark, cfg)).toDF())
+    pw.split("Exchange").head should include("max_by")
   }
 }
