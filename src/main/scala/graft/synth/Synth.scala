@@ -29,7 +29,14 @@ final case class SynthConfig(
     // > 0: every headPageEvery-th page is a glossary-style HEAD page
     // mentioning EVERY entity — the fixture that forces the relates_to
     // RelatesCap policy to actually filter (needs nEntities > the cap).
-    headPageEvery: Int = 0)
+    headPageEvery: Int = 0,
+    // > 0: every messyUrlEvery-th page gets a query string / fragment on
+    // its url, with EMBEDDED SLASHES — the adversarial corpus for the
+    // frozen messy-url policy (Hierarchy.QueryFragRe: everything from
+    // the first '?' or '#' is NOT path). Default 0 keeps the fixture
+    // byte-identical to the golden-hashed corpus (urls appear in link
+    // hrefs, so the extraction hashes depend on this knob).
+    messyUrlEvery: Int = 0)
 
 object Synth {
   // Filler vocabulary and alias vocabulary are DISJOINT so fixture
@@ -108,7 +115,13 @@ object Synth {
       case 2 => s"/c${i % 4}/d${i % 2}"
       case _ => ""
     }
-    s"https://site${i % cfg.nSites}.example/p$extra/$i"
+    val base = s"https://site${i % cfg.nSites}.example/p$extra/$i"
+    // adversarial tails: query strings and fragments with embedded
+    // slashes must NOT mint SECTION nodes (frozen policy, q35/q29)
+    if (cfg.messyUrlEvery > 0 && i % cfg.messyUrlEvery == 0)
+      if (i % (2L * cfg.messyUrlEvery) == 0) base + s"?q=$i/x&v=a/b#sec/$i"
+      else base + s"#frag/${i % 7}/end"
+    else base
   }
 
   private val BaseEpochSec = 1577836800L // 2020-01-01T00:00:00Z

@@ -82,7 +82,11 @@ object NaiveKg {
     // …sections… → page), the frozen FOLDER-analog spec
     // (Hierarchy.scala scaladoc)
     def prefixes(url: String): Seq[String] = {
+      // frozen messy-url policy (Hierarchy.QueryFragRe): everything from
+      // the first '?' or '#' is not path — re-derived here with the same
+      // regex SHAPE as the DuckDB oracle, independent of PathPrefixes
       val path = url.replaceFirst("^[a-zA-Z][a-zA-Z0-9+.-]*://", "")
+        .replaceAll("(?s)[?#].*", "")
       val segs = path.split("/", -1).toSeq
       if (segs.length <= 1) Seq(path)
       else (1 until segs.length).map(k => segs.take(k).mkString("/"))

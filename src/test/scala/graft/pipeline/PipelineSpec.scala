@@ -31,6 +31,38 @@ class PipelineSpec extends SparkSpec {
     got.size shouldBe golden.triples.size
   }
 
+  test("messy-url adversarial corpus: P = R = 1.0 and no query/fragment SECTION nodes") {
+    // every 5th page's url carries a query string or fragment with
+    // EMBEDDED SLASHES — the frozen policy (everything from the first
+    // '?'/'#' is not path) must hold end-to-end, not just in the q35
+    // oracle. NaiveKg re-derives the policy independently (regex shape).
+    val mcfg = cfg.copy(messyUrlEvery = 5)
+    val urls = Synth.pageRowsLocal(mcfg).map(_.url)
+    urls.count(u => u.contains("?") || u.contains("#")) should be >= 50
+    urls.count(u => u.replaceFirst("^https://", "")
+      .dropWhile(c => c != '?' && c != '#').contains("/")) should be >= 50
+
+    val g = Pipeline.run(Synth.pages(spark, mcfg), Synth.aliases(spark, mcfg),
+      Synth.sameAs(spark, mcfg), mcfg.nPages)
+    try {
+      val gold = NaiveKg.build(Synth.pageRowsLocal(mcfg), Synth.aliasRows(mcfg),
+        Synth.sameAsEdges(mcfg), mcfg.nPages)
+      val got = g.triples.collect().map(t => (t.subj, t.pred, t.obj)).toSet
+      val missing = gold.triples -- got
+      val extra = got -- gold.triples
+      withClue(s"missing=${missing.take(5)} extra=${extra.take(5)}: ") {
+        missing shouldBe empty
+        extra shouldBe empty
+      }
+      // no SECTION/SITE node may carry a query string or fragment
+      val nodes = g.nodes.collect()
+      nodes.filter(n => n.label == graft.model.Label.Section ||
+          n.label == graft.model.Label.Site)
+        .filter(n => n.node_id.contains("?") || n.node_id.contains("#")) shouldBe empty
+      nodes.map(n => (n.node_id, n.label)).toSet shouldBe gold.nodes
+    } finally g.unpersist()
+  }
+
   test("triple set is non-trivial and covers all four predicates") {
     val byPred = graph.triples.collect().groupBy(_.pred).view.mapValues(_.length).toMap
     byPred.keySet shouldBe Set("contains", "mentions", "links_to", "relates_to")
