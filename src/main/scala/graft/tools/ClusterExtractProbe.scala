@@ -56,12 +56,34 @@ object ClusterExtractProbe {
     val inputDir = graft.synth.BenchInput.ensure(spark, nPages)
     def pages() = spark.read.parquet(inputDir).as[graft.model.PageRow]
 
+    // shuffle-write bytes per timed block, summed from TaskEnd metrics
+    // (the VERDICT "Done" evidence: key-width dedup must shuffle ~40 B
+    // per row where the wide plan shuffled the full extracted record)
+    val shuffleBytes = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = te.taskMetrics
+          if (m != null) {
+            shuffleBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+            ()
+          }
+        }
+      })
+
     def t(name: String)(body: => Any): Unit = {
       body // warm
       val secs = (1 to 3).map { _ =>
         val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
       }.min
-      println(f"[cluster-extract-probe] $nWorkers x $coresPerWorker $name $secs%.2f s")
+      Thread.sleep(1000) // listener bus drain before reading the counter
+      shuffleBytes.set(0L)
+      body
+      Thread.sleep(1000)
+      val mb = shuffleBytes.get() / 1e6
+      println(f"[cluster-extract-probe] $nWorkers x $coresPerWorker $name " +
+        f"$secs%.2f s  shuffle-write $mb%.1f MB")
     }
 
     t("scan+hash only (pass-1 shape)") {

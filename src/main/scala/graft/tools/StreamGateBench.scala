@@ -6,11 +6,18 @@ import graft.synth.{Synth, SynthConfig}
 import org.apache.spark.sql.{Dataset, SparkSession}
 import org.apache.spark.sql.streaming.Trigger
 
-/** Bench: the flatMapGroupsWithState near-dup gate at corpus scale —
-  * WARC-drop micro-batches over the landing-dir file source, RocksDB
-  * state store, event-time TTL eviction.
+/** Bench: the near-dup gate at corpus scale — WARC-drop micro-batches
+  * over the landing-dir file source, RocksDB state store.
   *
-  *   runMain graft.tools.StreamGateBench [nPages] [nDrops] [cpus]
+  *   runMain graft.tools.StreamGateBench [nPages] [nDrops] [cpus] [mode]
+  *
+  * mode = fmgws (default): flatMapGroupsWithState, event-time TTL
+  * eviction, AvailableNow drain (event-time timeouts quiesce).
+  * mode = tws: the same gate on transformWithState — engine-managed
+  * PROCESSING-time TTL. Processing-time timers never quiesce, so the
+  * drain is an interval trigger plus a listener that counts source rows
+  * until every landed row has been processed (the documented Spark 4.1
+  * caveat; see StreamingIngest.nearDupGateTws scaladoc).
   *
   * Drops overlap by 10%: each re-lands the tail of the previous drop,
   * so the gate has real suppression work (same text → same signature →
@@ -29,6 +36,8 @@ object StreamGateBench {
     val nDrops = if (args.length > 1) args(1).toInt else 10
     val cpus = if (args.length > 2) args(2) else
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val mode = if (args.length > 3) args(3) else "fmgws"
+    require(mode == "fmgws" || mode == "tws", s"unknown mode $mode")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-stream-gate-bench")
@@ -42,6 +51,11 @@ object StreamGateBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
+
+    if (mode == "tws") // changelog checkpointing: no snapshot-zip storm
+      spark.conf.set(
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+        "true")
 
     val base = s"/dev/shm/graft-stream-gate-$nPages"
     val inDir = s"$base/in"
@@ -72,19 +86,51 @@ object StreamGateBench {
       .parquet(inDir).as[graft.model.PageRow]
     val extracted = pages.map(p => Extract.extractOne(p))
     val gated: Dataset[graft.model.ExtractedPage] =
-      StreamingIngest.nearDupGate(extracted)
+      if (mode == "tws")
+        StreamingIngest.nearDupGateTws(extracted,
+          ttl = java.time.Duration.ofHours(1))
+      else StreamingIngest.nearDupGate(extracted)
+
+    // tws drain: processing-time timers never quiesce, so count source
+    // rows from progress events and stop once every landed row was read
+    val processed = new java.util.concurrent.atomic.AtomicLong
+    spark.streams.addListener(
+      new org.apache.spark.sql.streaming.StreamingQueryListener {
+        import org.apache.spark.sql.streaming.StreamingQueryListener._
+        override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+        override def onQueryProgress(e: QueryProgressEvent): Unit = {
+          processed.addAndGet(e.progress.sources.map(_.numInputRows).sum)
+          ()
+        }
+        override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+      })
 
     val t0 = System.nanoTime()
-    val q = gated.writeStream
+    val writer = gated.writeStream
       .foreachBatch { (batch: Dataset[graft.model.ExtractedPage], _: Long) =>
         batch.write.mode("append").parquet(outDir)
         ()
       }
       .option("checkpointLocation", ckptDir)
-      .trigger(Trigger.AvailableNow()) // event-time timeout: quiesces
-      .start()
-    q.awaitTermination()
-    val wall = (System.nanoTime() - t0) / 1e9
+    val q =
+      if (mode == "tws")
+        writer.trigger(Trigger.ProcessingTime("250 milliseconds")).start()
+      else
+        writer.trigger(Trigger.AvailableNow()).start() // event-time: quiesces
+    val wall =
+      if (mode == "tws") {
+        val deadline = t0 + 3600L * 1000 * 1000 * 1000
+        while (processed.get() < landed && System.nanoTime() < deadline)
+          Thread.sleep(100)
+        val w = (System.nanoTime() - t0) / 1e9
+        require(processed.get() >= landed,
+          s"tws drain timed out: processed ${processed.get()} of $landed")
+        q.stop()
+        w
+      } else {
+        q.awaitTermination()
+        (System.nanoTime() - t0) / 1e9
+      }
 
     val admitted = spark.read.parquet(outDir).count()
     val progress = q.lastProgress
@@ -93,7 +139,7 @@ object StreamGateBench {
     val stateBytes = st.map(_.memoryUsedBytes).getOrElse(-1L)
     val ckptBytes = dirSize(new java.io.File(ckptDir))
     println(
-      f"""{"bench":"stream-gate","pages_landed":$landed,"drops":$nDrops,"""
+      f"""{"bench":"stream-gate","mode":"$mode","pages_landed":$landed,"drops":$nDrops,"""
         + f""""admitted":$admitted,"suppressed":${landed - admitted},"""
         + f""""wall_secs":$wall%.1f,"docs_per_sec":${landed / wall}%.1f,"""
         + f""""state_rows":$stateRows,"state_bytes":$stateBytes,"""
