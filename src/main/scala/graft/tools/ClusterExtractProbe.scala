@@ -86,6 +86,16 @@ object ClusterExtractProbe {
         f"$secs%.2f s  shuffle-write $mb%.1f MB")
     }
 
+    // consume like the PIPELINE does — referencing the heavy columns.
+    // A bare count() lets Catalyst prune the max_by payload to keys-only
+    // BEFORE the exchange (measured: the "wide" plan shuffled 0.8 MB at
+    // 50k pages under count() vs the ~600 MB the persisted extracted
+    // stage actually pays), flattering exactly the plan under test.
+    def consume(ds: org.apache.spark.sql.Dataset[graft.model.ExtractedPage]): Unit = {
+      ds.toDF().select(sum(length($"text")), sum(size($"links")),
+        sum(length($"text_sha256")), sum($"html_xxh64" * 0)).collect()
+      ()
+    }
     t("scan+hash only (pass-1 shape)") {
       pages().toDF().select($"url", $"warc_ts", xxhash64($"html").as("h"))
         .groupBy($"url", $"warc_ts", $"h").agg(count(lit(1)).as("c"))
@@ -93,10 +103,10 @@ object ClusterExtractProbe {
         .filter($"n" > 1).count()
     }
     t("extract-everything, no dedup (lower bound)") {
-      pages().map(p => Extract.extractOne(p)).count()
+      consume(pages().map(p => Extract.extractOne(p)))
     }
-    t("key-width run (round 5)") { Extract.run(pages()).count() }
-    t("wide-shuffle run (round 4)") { Extract.runWideShuffle(pages()).count() }
+    t("key-width run (round 5)") { consume(Extract.run(pages())) }
+    t("wide-shuffle run (round 4)") { consume(Extract.runWideShuffle(pages())) }
     spark.stop()
   }
 }
