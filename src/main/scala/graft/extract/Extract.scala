@@ -103,68 +103,83 @@ object Extract {
     * lever — the ~12 KB/row extracted-record shuffle was the cluster
     * scaling tail once extraction itself went scanner-fast):
     *
-    *  1. Pass 1 shuffles only (url, warc_ts, xxhash64(html)) — ~40 bytes
+    *  1. Pass 1 shuffles only (url, warc_ts) multiplicities — ~30 bytes
     *     per row — and keeps just the CONTESTED urls (count > 1, ~2% of
-    *     a crawl batch) with their winning key. Two-level aggregate, so
-    *     the per-url `max_by` key is unique and the pick deterministic.
-    *  2. Pass 2 re-scans the input, drops loser rows with a broadcast
-    *     winner-key probe (uncontested urls pass untouched — no lookup
-    *     miss cost beyond a hash probe), and extracts ONLY the winners
-    *     map-side. The extracted rows never cross a shuffle; losers are
-    *     never extracted at all (the old plan extracted them first and
-    *     discarded them after the wide shuffle).
+    *     a crawl batch) with their winning timestamp. The html column is
+    *     PRUNED out of this scan entirely (it is ~99% of the input
+    *     bytes): the html hash only matters as a tie-break WITHIN a
+    *     url's max warc_ts, so hashing every row up front — as the first
+    *     cut of this plan did — re-read the whole corpus just to break
+    *     ties that almost never happen.
+    *  2. Pass 2 scans the input once, drops loser rows with a broadcast
+    *     winner-timestamp probe (uncontested urls pass untouched), and
+    *     extracts ONLY the winners map-side. The extracted rows never
+    *     cross a shuffle; losers are never extracted at all (the old
+    *     plan extracted them first and discarded them after the wide
+    *     shuffle).
     *
     * The keep-latest tie-break is unchanged and shared: max (warc_ts,
     * xxhash64(html)) — the ONE frozen total-order key of dedupLatest and
-    * Incremental.diff (Det.xxh64Bytes ≡ SQL xxhash64). The rare url whose
-    * winning key is held by SEVERAL rows (byte-identical captures) is
-    * routed to the legacy wide-shuffle plan — decided at the driver, so
-    * the common case plans no second branch at all. A contested set over
-    * [[MaxContestedUrls]] (pathological batch) also falls back to the
-    * wide plan rather than overfilling the driver.
+    * Incremental.diff (Det.xxh64Bytes ≡ SQL xxhash64). A url with a
+    * UNIQUE max warc_ts (the overwhelmingly common case) never consults
+    * the hash leg of that key, so skipping the hash is semantics-free.
+    * The rare url whose max warc_ts is held by SEVERAL rows (same-second
+    * recrawls, byte-identical captures) is ESCALATED to the legacy
+    * wide-shuffle plan on just its own rows — the full frozen key,
+    * decided at the driver, so the common case plans no second branch at
+    * all. A contested set over [[MaxContestedUrls]] (pathological batch)
+    * also falls back to the wide plan rather than overfilling the driver.
     *
     * ≙ reference chunk-merge dedup (clangd_index_yaml_parser.py:355-372
-    * "last wins" dict insert), re-shaped so the merge key is 40 bytes
+    * "last wins" dict insert), re-shaped so the merge key is ~30 bytes
     * instead of the record. */
   def run(
       pages: Dataset[PageRow],
       extractor: TextExtractor = HtmlTextExtractor): Dataset[ExtractedPage] = {
     val spark = pages.sparkSession
     import spark.implicits._
-    // pass 1 (narrow shuffle): exact-key multiplicities, then per-url
-    // winner + the winner's multiplicity; contested urls only
-    val keyCounts = pages.toDF()
-      .select($"url", $"warc_ts", xxhash64($"html").as("h"))
-      .groupBy($"url", $"warc_ts", $"h").agg(count(lit(1)).as("c"))
-    val contested = keyCounts.groupBy($"url")
-      .agg(sum($"c").as("n"),
-        max_by(struct($"warc_ts", $"h", $"c"), struct($"warc_ts", $"h")).as("w"))
-      .filter($"n" > 1)
-      .select($"url", $"w.warc_ts", $"w.h", $"w.c")
-      .take(MaxContestedUrls + 1)
+    val contested = contestedUrls(pages).take(MaxContestedUrls + 1)
     if (contested.length > MaxContestedUrls) return runWideShuffle(pages, extractor)
 
-    // url → (winning warc_ts, winning html hash, winner-key tie?)
-    val winners = new java.util.HashMap[String, (java.sql.Timestamp, Long, Boolean)](
+    // url → (winning warc_ts, escalated: max-ts row not unique)
+    val winners = new java.util.HashMap[String, (java.sql.Timestamp, Boolean)](
       contested.length * 2 + 16)
     contested.foreach(r =>
-      winners.put(r.getString(0), (r.getTimestamp(1), r.getLong(2), r.getLong(3) > 1L)))
+      winners.put(r.getString(0), (r.getTimestamp(1), r.getLong(2) > 1L)))
     val winnersB = spark.sparkContext.broadcast(winners)
     val main = pages
       .filter { p =>
         val w = winnersB.value.get(p.url)
-        w == null ||
-          (!w._3 && w._1.equals(p.warc_ts) && w._2 == graft.util.Det.xxh64Bytes(p.html))
+        w == null || (!w._2 && w._1.equals(p.warc_ts))
       }
       .map(p => extractOne(p, extractor))
-    val tied = contested.filter(_.getLong(3) > 1L).map(_.getString(0)).toSet
-    if (tied.isEmpty) main
-    else { // byte-identical duplicate captures: only THEIR rows take the
-           // legacy wide plan (filter keeps >1 row per such url)
-      val tiedB = spark.sparkContext.broadcast(tied)
+    val escalated = contested.filter(_.getLong(2) > 1L).map(_.getString(0)).toSet
+    if (escalated.isEmpty) main
+    else { // max-ts ties (needs the html-hash leg of the frozen key):
+           // only THEIR rows take the legacy wide plan
+      val escB = spark.sparkContext.broadcast(escalated)
       main.union(
-        runWideShuffle(pages.filter(p => tiedB.value.contains(p.url)), extractor))
+        runWideShuffle(pages.filter(p => escB.value.contains(p.url)), extractor))
     }
+  }
+
+  /** Pass 1 of [[run]]: per-url (winning warc_ts, its multiplicity) for
+    * urls with more than one crawl row — columns (url, warc_ts, c).
+    * Shuffles only (url, warc_ts) multiplicities; the html column is
+    * pruned out of the scan (plan-asserted in ExtractDedupSpec — this
+    * pruning, not the narrow shuffle alone, is what makes pass 1 nearly
+    * free: html is ~99% of the input bytes). */
+  private[graft] def contestedUrls(pages: Dataset[PageRow]) = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    pages.toDF()
+      .select($"url", $"warc_ts")
+      .groupBy($"url", $"warc_ts").agg(count(lit(1)).as("c"))
+      .groupBy($"url")
+      .agg(sum($"c").as("n"),
+        max_by(struct($"warc_ts", $"c"), $"warc_ts").as("w"))
+      .filter($"n" > 1)
+      .select($"url", $"w.warc_ts", $"w.c")
   }
 
   /** The pre-round-5 plan: extract every row map-side, then one wide

@@ -31,11 +31,10 @@ object ClusterExtractProbe {
       "java.base/sun.nio.ch", "java.base/sun.nio.cs",
       "java.base/sun.security.action", "java.base/sun.util.calendar")
       .map(p => s"--add-opens=$p=ALL-UNNAMED").mkString(" ") +
-      // a real cluster caps each executor's visible CPUs (cgroups); a
-      // local-cluster executor JVM sees all 32 host cores and sizes its
-      // GC/JIT/netty pools for them — 4 workers would spawn 4 full-size
-      // pool sets and thrash during pauses. Cap to the granted cores.
-      s" -XX:ActiveProcessorCount=$coresPerWorker"
+      // same ActiveProcessorCount policy (and A/B toggle) as
+      // ClusterScalingBench so probe numbers compose with bench numbers
+      (if (sys.env.get("SPARK_GRAFT_APC").contains("off")) ""
+       else s" -XX:ActiveProcessorCount=$coresPerWorker")
     val execMb = sys.env.getOrElse("SPARK_GRAFT_EXEC_MB", "4096").toInt
     val spark = SparkSession.builder()
       .master(s"local-cluster[$nWorkers, $coresPerWorker, $execMb]")
@@ -96,7 +95,13 @@ object ClusterExtractProbe {
         sum(length($"text_sha256")), sum($"html_xxh64" * 0)).collect()
       ()
     }
-    t("scan+hash only (pass-1 shape)") {
+    t("narrow winner pass alone (pass-1 shape, html pruned)") {
+      pages().toDF().select($"url", $"warc_ts")
+        .groupBy($"url", $"warc_ts").agg(count(lit(1)).as("c"))
+        .groupBy($"url").agg(sum($"c").as("n"))
+        .filter($"n" > 1).count()
+    }
+    t("scan+hash pass (first-cut pass-1: reads all html)") {
       pages().toDF().select($"url", $"warc_ts", xxhash64($"html").as("h"))
         .groupBy($"url", $"warc_ts", $"h").agg(count(lit(1)).as("c"))
         .groupBy($"url").agg(sum($"c").as("n"))

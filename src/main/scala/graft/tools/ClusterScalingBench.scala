@@ -41,9 +41,11 @@ object ClusterScalingBench {
       .map(p => s"--add-opens=$p=ALL-UNNAMED").mkString(" ") +
       // a real cluster caps each executor's visible CPUs (cgroups); a
       // local-cluster executor JVM sees all 32 host cores and sizes its
-      // GC/JIT/netty pools for them — 4 workers would spawn 4 full-size
-      // pool sets and thrash during pauses. Cap to the granted cores.
-      s" -XX:ActiveProcessorCount=$coresPerWorker"
+      // GC/JIT/netty pools for them. Cap to the granted cores — unless
+      // SPARK_GRAFT_APC=off (A/B: the cap also shrinks GC worker pools,
+      // which costs alloc-heavy legs; both settings are reported).
+      (if (sys.env.get("SPARK_GRAFT_APC").contains("off")) ""
+       else s" -XX:ActiveProcessorCount=$coresPerWorker")
 
     // per-executor memory (MB): same on every config so the N→4N story
     // compares equal executors, only more of them

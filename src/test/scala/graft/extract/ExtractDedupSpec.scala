@@ -65,6 +65,24 @@ class ExtractDedupSpec extends SparkSpec {
   private def collect(ds: org.apache.spark.sql.Dataset[graft.model.ExtractedPage]) =
     ds.collect().sortBy(_.url).map(e => (e.url, e.text_sha256, e.warc_ts)).toSeq
 
+  test("pass 1 prunes the html column out of the parquet scan") {
+    // the scale property of the key-width plan: the winner pass reads
+    // ~1% of the input bytes. Must survive the toDF().select path from
+    // a TYPED parquet Dataset (an intervening typed map would break it).
+    val dir = java.nio.file.Files.createTempDirectory("graft-dedup-prune").toString
+    val rows = Seq(
+      page("https://p/1", 100L, "<html><body>one</body></html>"),
+      page("https://p/1", 200L, "<html><body>two</body></html>"),
+      page("https://p/2", 100L, "<html><body>three</body></html>"))
+    spark.createDataset(rows).write.mode("overwrite").parquet(dir)
+    val pages = spark.read.parquet(dir).as[PageRow]
+    val p1 = Extract.contestedUrls(pages)
+    val plan = p1.queryExecution.executedPlan.toString
+    plan should include("ReadSchema: struct<url:string,warc_ts:timestamp>")
+    (plan should not).include("html")
+    p1.collect().map(_.getString(0)).toSeq shouldBe Seq("https://p/1")
+  }
+
   test("empty input and all-duplicates input") {
     Extract.run(spark.emptyDataset[PageRow]).count() shouldBe 0L
     val dup = spark.createDataset(Seq(
