@@ -73,7 +73,18 @@ object Pipeline {
     val spark = pages.sparkSession
     import spark.implicits._
 
-    val extracted = Extract.run(pages).persist(StorageLevel.MEMORY_AND_DISK)
+    // Coalesce to the session's shuffle parallelism before caching: the
+    // key-width dedup keeps extraction at SCAN granularity (no shuffle),
+    // so without this the cache inherits one partition per input split —
+    // at 100 TB that is millions of cached partitions, and every one of
+    // the ~6 downstream cache consumers pays per-task dispatch for each
+    // (measured: a 256-file input cost the 4×2-executor pipeline +8.5 s
+    // vs 64 files purely in downstream task overhead). coalesce() folds
+    // the scan into shuffle.partitions read tasks without a shuffle and
+    // never increases the count on small inputs.
+    val cacheParts = spark.sessionState.conf.numShufflePartitions
+    val extracted = Extract.run(pages).coalesce(cacheParts)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     // persisted because resolve() consumes candidates twice: eagerly for
     // the alias-df aggregate and again in the linking pass
     val cands = Mention.detect(extracted, aliases)

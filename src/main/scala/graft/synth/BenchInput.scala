@@ -31,7 +31,17 @@ object BenchInput {
     * the 8-core tail to ~1.4% while leaving the 2-core side unchanged. */
   val PartFiles = 256
 
-  def dirFor(nPages: Long): String = s"/dev/shm/graft-bench-input-$nPages"
+  /** Effective part-file count: `SPARK_GRAFT_PARTFILES` overrides the
+    * contract for layout A/B probes only — every published number uses
+    * the default. The table dir is suffixed for non-default layouts so
+    * an A/B can never poison the canonical cached table. */
+  def partFiles: Int =
+    sys.env.get("SPARK_GRAFT_PARTFILES").map(_.toInt).getOrElse(PartFiles)
+
+  def dirFor(nPages: Long): String = {
+    val suffix = if (partFiles == PartFiles) "" else s"-f$partFiles"
+    s"/dev/shm/graft-bench-input-$nPages$suffix"
+  }
 
   /** Path of a valid (committed AND 64-part-file) bench input table for
     * `nPages`, (re)generating if absent, uncommitted, or mis-laid-out. */
@@ -40,13 +50,13 @@ object BenchInput {
     val d = new java.io.File(dir)
     val parts = Option(d.list()).map(_.count(f =>
       f.startsWith("part-") && f.endsWith(".parquet"))).getOrElse(0)
-    val ok = new java.io.File(d, "_SUCCESS").exists() && parts == PartFiles
+    val ok = new java.io.File(d, "_SUCCESS").exists() && parts == partFiles
     if (!ok) {
       if (d.exists())
         System.err.println(s"[bench-input] regenerating $dir: " +
-          s"found $parts part files, need $PartFiles (stale layout would " +
+          s"found $parts part files, need $partFiles (stale layout would " +
           "cap scan parallelism and distort scaling numbers)")
-      Synth.pages(spark, cfg(nPages)).repartition(PartFiles)
+      Synth.pages(spark, cfg(nPages)).repartition(partFiles)
         .write.mode("overwrite").parquet(dir)
     }
     dir

@@ -112,6 +112,22 @@ object ClusterExtractProbe {
     }
     t("key-width run (round 5)") { consume(Extract.run(pages())) }
     t("wide-shuffle run (round 4)") { consume(Extract.runWideShuffle(pages())) }
+    // the PIPELINE's extract leg is persist(MEMORY_AND_DISK) + count —
+    // the columnar cache build is its own cost center on ~12 KB rows, so
+    // time it separately for both dedup plans (the bench legs' gap vs
+    // the consume() blocks above is exactly this)
+    def persisted(name: String)(mk: => org.apache.spark.sql.Dataset[graft.model.ExtractedPage]): Unit =
+      t(name) {
+        val e = mk.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        e.count()
+        e.unpersist(blocking = true)
+      }
+    persisted("key-width + persist + count (pipeline extract-leg shape)") {
+      Extract.run(pages())
+    }
+    persisted("wide-shuffle + persist + count (round-4 extract-leg shape)") {
+      Extract.runWideShuffle(pages())
+    }
     spark.stop()
   }
 }
