@@ -82,7 +82,12 @@ object Pipeline {
     // vs 64 files purely in downstream task overhead). coalesce() folds
     // the scan into shuffle.partitions read tasks without a shuffle and
     // never increases the count on small inputs.
-    val cacheParts = spark.sessionState.conf.numShufflePartitions
+    // 3 tasks/core (the straggler-smoothing factor BENCH/BASELINE.md
+    // measured as the shuffle-partition sweet spot) — a bare 1×-cores
+    // coalesce left single-wave extraction whose slowest task gated the
+    // whole stage; never below the session's shuffle parallelism.
+    val cacheParts = math.max(spark.sparkContext.defaultParallelism * 3,
+      spark.sessionState.conf.numShufflePartitions)
     val extracted = Extract.run(pages).coalesce(cacheParts)
       .persist(StorageLevel.MEMORY_AND_DISK)
     // persisted because resolve() consumes candidates twice: eagerly for
