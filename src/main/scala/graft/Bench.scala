@@ -40,8 +40,8 @@ object Bench {
     var kgTriples = 0L
     def kgOnce(pages: Long): Double = {
       val cfg = graft.synth.BenchInput.cfg(pages)
-      // ensure() also validates the 64-part-file layout contract — a
-      // stale table from an older generator caps scan parallelism
+      // ensure() also validates BenchInput's part-file-count contract —
+      // a stale table from an older generator caps scan parallelism
       val inputDir = graft.synth.BenchInput.ensure(spark, pages)
       // wide-binary corpus (≈20 KB html/row): the default 4096-row
       // vectorized-reader batch costs ~80 MB per concurrent reader — 512
