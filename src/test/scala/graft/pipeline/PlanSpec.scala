@@ -199,4 +199,35 @@ class PlanSpec extends SparkSpec {
     val pw = plan(graft.extract.Extract.runWideShuffle(Synth.pages(spark, cfg)).toDF())
     pw.split("Exchange").head should include("max_by")
   }
+
+  test("extracted cache partitions track parallelism, not input file count") {
+    // the key-width dedup keeps extraction at scan granularity, so
+    // without the coalesce the persisted stage inherits one cache
+    // partition per input split — at 4x2 real executor JVMs a 256-file
+    // input cost +8.5 s of downstream task dispatch, and at 100 TB it
+    // would mean millions of cached partitions. Freeze: many more input
+    // files than cores must NOT leak into the cache partition count.
+    val dir = java.nio.file.Files.createTempDirectory("graft-cache-parts").toString
+    val cfg = SynthConfig(nPages = 120L)
+    Synth.pages(spark, cfg).repartition(60).write.mode("overwrite").parquet(dir)
+    // one split per file (bin-packing would fold 60 tiny files into a
+    // handful of splits and the test would assert nothing)
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "1")
+    spark.conf.set("spark.sql.files.openCostInBytes", "0")
+    try {
+      val pages = spark.read.parquet(dir).as[graft.model.PageRow]
+      assert(pages.rdd.getNumPartitions >= 60)
+      val expected = math.max(spark.sparkContext.defaultParallelism * 3,
+        spark.sessionState.conf.numShufflePartitions)
+      val g = graft.pipeline.Pipeline.run(pages,
+        Synth.aliases(spark, cfg), Synth.sameAs(spark, cfg), cfg.nPages)
+      try {
+        g.extracted.rdd.getNumPartitions shouldBe expected
+        g.triples.count() should be > 0L
+      } finally g.unpersist()
+    } finally {
+      spark.conf.unset("spark.sql.files.maxPartitionBytes")
+      spark.conf.unset("spark.sql.files.openCostInBytes")
+    }
+  }
 }
