@@ -334,6 +334,25 @@ object SparkEntry {
           round(col("rms"), 6).as("rms"))
         .orderBy("media_id")
     }),
+    // ---- S8 full COMPRESSED decode tier: real PNG/GIF/JPEG files are
+    // ENCODED from doc_id by the JDK's own codecs and pixel-DECODED back
+    // through ImageIoCodec; the oracle recomputes the lossless means
+    // (PNG gradient, GIF two-gray checkerboard) from the formulas alone
+    // — the whole entropy-coded round trip must agree. JPEG is lossy, so
+    // its oracle row checks real decoded DIMS and leaves mean_px NULL
+    // (the spec pins its decoded mean to the solid gray within ±2). ----
+    "q37_image_decode" -> ((s, d) => {
+      import s.implicits._
+      val media = rd(s, d, "documents").filter(col("doc_id") < 60)
+        .select(col("doc_id")).as[Long]
+        .map(id => Multimodal.MediaRow(id, "image",
+          Multimodal.synthImageBytes(id)))
+      Multimodal.decodeImageFeatures(media).toDF()
+        .select(col("media_id"), col("format"), col("width"), col("height"),
+          when(col("format") === "jpeg", lit(null).cast("double"))
+            .otherwise(round(col("mean_px"), 6)).as("mean_px"))
+        .orderBy("media_id")
+    }),
     // ---- A3/A11 arbitrary-depth ancestor chain over a synthetic
     // variable-depth path column (the FOLDER-analog derivation, oracled
     // directly against an independent SQL prefix expansion). A fifth of
@@ -847,5 +866,26 @@ object SparkEntry {
         |         * ((doc_id * 7 + 13 * k) % 2001 - 1000) AS DOUBLE)
         |    for k in range(0, CAST(400 + (doc_id % 5) * 100 AS INT))])), 6)
         |   ELSE 0.0 END AS rms
+        |FROM documents WHERE doc_id < 60 ORDER BY media_id""".stripMargin,
+    // q37: the engine ImageIO-encodes real PNG/GIF/JPEG files from
+    // doc_id and pixel-decodes them back; the oracle recomputes dims
+    // from the synthesis formulas and the LOSSLESS means exactly (PNG
+    // gradient = the q36 closed form; GIF two-gray checkerboard with
+    // even width = (A+B)/2). JPEG mean is NULL on both sides (lossy).
+    "q37_image_decode" ->
+      """SELECT doc_id AS media_id,
+        | CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'gif' ELSE 'jpeg' END AS format,
+        | CAST(CASE doc_id % 3 WHEN 0 THEN 5 + doc_id % 4
+        |   WHEN 1 THEN 4 + 2 * (doc_id % 3)
+        |   ELSE 8 + (doc_id % 5) * 4 END AS INT) AS width,
+        | CAST(CASE doc_id % 3 WHEN 0 THEN 3 + doc_id % 3
+        |   WHEN 1 THEN 3 + doc_id % 4
+        |   ELSE 6 + (doc_id % 3) * 2 END AS INT) AS height,
+        | CASE doc_id % 3
+        |   WHEN 0 THEN round(list_avg(
+        |     [CAST((doc_id * 31 + k) % 256 AS DOUBLE)
+        |      for k in range(0, CAST((5 + doc_id % 4) * (3 + doc_id % 3) * 3 AS INT))]), 6)
+        |   WHEN 1 THEN round(((doc_id * 37) % 256 + (doc_id * 53) % 256) / 2.0, 6)
+        |   ELSE CAST(NULL AS DOUBLE) END AS mean_px
         |FROM documents WHERE doc_id < 60 ORDER BY media_id""".stripMargin)
 }

@@ -9,12 +9,16 @@ import org.apache.spark.sql.{Dataset, SparkSession}
   * The Spark-side shape is real and tested — schema, per-partition
   * batching, lazy decoder init (the S8 analog: per-process initializer,
   * compilation_parser.py:160-234). Seven header parses (PNG, GIF, JPEG,
-  * WebP×3, MP4, BMP, WAV) and the two uncompressed CONTENT decodes
-  * (BMP pixel mean, WAV PCM RMS) are real byte-level logic; only
-  * compressed pixel/audio decode is STUBBED (this container has no
-  * codec libraries) — clearly marked below. Swap `StubCodec` for a real
-  * decoder (e.g. a JNI codec initialized once per executor via the same
-  * mapPartitions pattern) in production.
+  * WebP×3, MP4, BMP, WAV) and the uncompressed CONTENT decodes (BMP
+  * pixel mean, WAV PCM RMS) are hand-written byte-level logic, and
+  * COMPRESSED pixel decode is REAL for every codec the JDK itself
+  * ships — PNG, JPEG, GIF, BMP via [[ImageIoCodec]] (javax.imageio,
+  * no external libraries), oracled by an encode→decode round trip
+  * (q37). What remains non-real is narrow and named: WebP/MP4 pixel
+  * decode (no JDK codec exists — their dims come from the real header
+  * parses; register a JNI reader via the same per-partition init in
+  * production) and `StubCodec.extractFeature`'s 8-dim pseudo-embedding
+  * (a stand-in for a vision MODEL, not a codec).
   */
 object Multimodal {
 
@@ -252,12 +256,11 @@ object Multimodal {
     * once per partition, not per row (mapPartitions closure). */
   final class StubCodec {
     /** PNG IHDR, GIF logical-screen, JPEG SOF, WebP VP8/VP8L/VP8X,
-      * MP4 tkhd, BMP BITMAPINFOHEADER width/height AND the uncompressed
-      * decodes (BMP 24bpp pixel mean, WAV 16-bit PCM RMS) are REAL
-      * byte-level parses; what remains faked is compressed pixel/audio
-      * decode (no codec libraries in this container): deterministic fake
-      * dims from the payload hash for unknown formats and truncated
-      * headers. Audio has no raster dims — (0, 0) is the real answer. */
+      * MP4 tkhd, BMP BITMAPINFOHEADER width/height are REAL byte-level
+      * parses (and [[ImageIoCodec]] full-decodes the JDK-codec formats'
+      * pixels); the fakes left HERE are deterministic dims from the
+      * payload hash for unknown formats and truncated headers. Audio
+      * has no raster dims — (0, 0) is the real answer. */
     def decodeDims(payload: Array[Byte]): (Int, Int) =
       sniffFormat(payload) match {
         case "png" if payload.length >= 24 =>
@@ -321,6 +324,7 @@ object Multimodal {
     val spark = media.sparkSession
     import spark.implicits._
     media.mapPartitions { rows =>
+      val icodec = new ImageIoCodec // per-partition init, like StubCodec
       rows.map { r =>
         sniffFormat(r.payload) match {
           case "bmp" =>
@@ -333,6 +337,13 @@ object Multimodal {
               info.map(_.sampleRate).getOrElse(0),
               info.map(_.durationMs).getOrElse(0L),
               wavRms(r.payload).getOrElse(0.0))
+          case f @ ("png" | "gif" | "jpeg") =>
+            // compressed formats the JDK ships a codec for: REAL pixel
+            // decode (per-partition codec, initialized lazily below)
+            icodec.decodeImage(r.payload) match {
+              case Some((w, h, mean)) => AvMeta(r.media_id, f, w, h, mean, 0, 0L, 0.0)
+              case None               => AvMeta(r.media_id, f, 0, 0, 0.0, 0, 0L, 0.0)
+            }
           case f =>
             AvMeta(r.media_id, f, 0, 0, 0.0, 0, 0L, 0.0)
         }
@@ -380,6 +391,168 @@ object Multimodal {
       }
       out.array()
     }
+
+  /** REAL compressed-pixel decode via the JDK's OWN ImageIO codecs
+    * (PNG, JPEG, GIF, BMP, WBMP ship with every JDK — no external
+    * libraries): full entropy/filter/palette decode to pixels, not a
+    * header parse. One instance per partition like [[StubCodec]];
+    * ImageIO's temp-FILE-per-decode disk cache is disabled at init.
+    * Formats with no JDK codec (WebP, MP4 video) still return None
+    * here — their header parses above remain the real answer for dims,
+    * and a production build would register a JNI reader via the same
+    * per-partition init. ≙ S8's real per-item content features
+    * (compilation_parser.py:49-121). */
+  final class ImageIoCodec {
+    ImageIoCodec.init
+    /** (width, height, mean pixel value over the RGB channels), or None
+      * for payloads no installed reader accepts (truncated, corrupt,
+      * codec-less formats). */
+    def decodeImage(payload: Array[Byte]): Option[(Int, Int, Double)] =
+      try {
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(payload))
+        if (img == null) None
+        else {
+          val w = img.getWidth
+          val h = img.getHeight
+          var sum = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val p = img.getRGB(x, y)
+              sum += ((p >> 16) & 0xFF) + ((p >> 8) & 0xFF) + (p & 0xFF)
+              x += 1
+            }
+            y += 1
+          }
+          Some((w, h, sum.toDouble / (w.toLong * h * 3)))
+        }
+      } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  object ImageIoCodec {
+    /** Once-per-JVM: decode must work on executors with no display, and
+      * without a temp file per image. */
+    lazy val init: Unit = {
+      System.setProperty("java.awt.headless", "true")
+      javax.imageio.ImageIO.setUseCache(false)
+    }
+  }
+
+  /** Deterministic REAL compressed image files for the q37
+    * construct→decode round-trip oracle — encoded by the same JDK
+    * codecs [[ImageIoCodec]] decodes with, so the oracle binds the
+    * whole encode→entropy-coded bytes→decode loop:
+    *
+    *  - id ≡ 0 (mod 3): PNG, per-channel gradient — flattened channel
+    *    j of pixel p is (id·31 + 3p + j) mod 256, so the decoded mean
+    *    is the same closed form the BMP oracle (q36) uses. Lossless →
+    *    the oracle checks the mean EXACTLY.
+    *  - id ≡ 1 (mod 3): GIF, two-gray checkerboard on an explicit
+    *    2-entry palette; width is even so the grays tile equally and
+    *    the exact mean is (A + B) / 2 with A = id·37 mod 256,
+    *    B = id·53 mod 256. Written NON-interlaced: the JDK GIF writer
+    *    interlaces by default and its interlaced round-trip scrambles
+    *    rows on images shorter than the 8-row pass stride (observed:
+    *    4-row images decode with rows 2/3 corrupted) — a real JDK bug
+    *    this oracle would catch if the default ever changed.
+    *  - id ≡ 2 (mod 3): JPEG, solid gray id·29 mod 256. Lossy → the
+    *    oracle checks DIMS exactly and the spec checks the decoded
+    *    mean is within ±2 of the gray (DCT of a constant block is
+    *    near-exact), which pins real pixel decode without demanding
+    *    bit-exact IDCT. */
+  def synthImageBytes(id: Long): Array[Byte] = {
+    ImageIoCodec.init
+    import java.awt.image.{BufferedImage, IndexColorModel}
+    val bos = new java.io.ByteArrayOutputStream()
+    id % 3 match {
+      case 0 =>
+        val w = (5 + id % 4).toInt
+        val h = (3 + id % 3).toInt
+        val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val k = (y * w + x) * 3
+            val r = ((id * 31 + k) % 256).toInt
+            val g = ((id * 31 + k + 1) % 256).toInt
+            val b = ((id * 31 + k + 2) % 256).toInt
+            img.setRGB(x, y, (r << 16) | (g << 8) | b)
+            x += 1
+          }
+          y += 1
+        }
+        javax.imageio.ImageIO.write(img, "png", bos)
+      case 1 =>
+        val a = ((id * 37) % 256).toInt
+        val b = ((id * 53) % 256).toInt
+        val w = (4 + 2 * (id % 3)).toInt
+        val h = (3 + id % 4).toInt
+        val pal = Array(a.toByte, b.toByte)
+        val cm = new IndexColorModel(8, 2, pal, pal, pal)
+        val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_INDEXED, cm)
+        val ras = img.getRaster
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            ras.setSample(x, y, 0, (x + y) % 2)
+            x += 1
+          }
+          y += 1
+        }
+        val wr = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+        val pp = wr.getDefaultWriteParam
+        pp.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DISABLED)
+        val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+        wr.setOutput(ios)
+        wr.write(null, new javax.imageio.IIOImage(img, null, null), pp)
+        wr.dispose()
+        ios.close()
+      case _ =>
+        val gray = ((id * 29) % 256).toInt
+        val w = (8 + (id % 5) * 4).toInt
+        val h = (6 + (id % 3) * 2).toInt
+        val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            img.setRGB(x, y, (gray << 16) | (gray << 8) | gray)
+            x += 1
+          }
+          y += 1
+        }
+        javax.imageio.ImageIO.write(img, "jpeg", bos)
+    }
+    bos.toByteArray
+  }
+
+  final case class ImgMeta(
+      media_id: Long, format: String, width: Int, height: Int,
+      mean_px: Double)
+
+  /** Compressed-image content decode over the binary column — the
+    * [[decodeAvFeatures]] shape for the JDK-codec formats, kept as its
+    * own typed operator so image-only corpora skip the AV dispatch.
+    * Undecodable payloads yield (0, 0, 0.0), format still sniffed. */
+  def decodeImageFeatures(media: Dataset[MediaRow]): Dataset[ImgMeta] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      val codec = new ImageIoCodec
+      rows.map { r =>
+        codec.decodeImage(r.payload) match {
+          case Some((w, h, mean)) =>
+            ImgMeta(r.media_id, sniffFormat(r.payload), w, h, mean)
+          case None =>
+            ImgMeta(r.media_id, sniffFormat(r.payload), 0, 0, 0.0)
+        }
+      }
+    }
+  }
 
   /** Deterministic frame-sampling plan for a video payload: every
     * `stride`-th frame offset of `nFrames` — pure plumbing (a real
