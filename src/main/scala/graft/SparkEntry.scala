@@ -353,6 +353,22 @@ object SparkEntry {
             .otherwise(round(col("mean_px"), 6)).as("mean_px"))
         .orderBy("media_id")
     }),
+    // ---- S8 compressed AUDIO decode: real G.711 μ-law WAV files
+    // encoded from doc_id, companded-decoded by the JDK's javax.sound
+    // codec; the oracle expands each 8-bit code through the G.711
+    // closed form and recomputes the RMS the decoder must match
+    // bit-exactly (the JDK table IS the closed form — spec-pinned). ----
+    "q38_audio_ulaw" -> ((s, d) => {
+      import s.implicits._
+      val media = rd(s, d, "documents").filter(col("doc_id") < 60)
+        .select(col("doc_id")).as[Long]
+        .map(id => Multimodal.MediaRow(id, "audio",
+          Multimodal.synthUlawBytes(id)))
+      Multimodal.decodeAvFeatures(media).toDF()
+        .select(col("media_id"), col("format"), col("sample_rate"),
+          col("duration_ms"), round(col("rms"), 6).as("rms"))
+        .orderBy("media_id")
+    }),
     // ---- A3/A11 arbitrary-depth ancestor chain over a synthetic
     // variable-depth path column (the FOLDER-analog derivation, oracled
     // directly against an independent SQL prefix expansion). A fifth of
@@ -887,5 +903,24 @@ object SparkEntry {
         |      for k in range(0, CAST((5 + doc_id % 4) * (3 + doc_id % 3) * 3 AS INT))]), 6)
         |   WHEN 1 THEN round(((doc_id * 37) % 256 + (doc_id * 53) % 256) / 2.0, 6)
         |   ELSE CAST(NULL AS DOUBLE) END AS mean_px
+        |FROM documents WHERE doc_id < 60 ORDER BY media_id""".stripMargin,
+    // q38: μ-law codes (id*13 + 7k) % 256 expanded through the G.711
+    // closed form — u = 255 - code; exp/mant from u's low 7 bits;
+    // linear = (mant*8 + 132) * 2^exp - 132, negated when u's top bit
+    // is set — then RMS over the decoded samples. The engine decodes
+    // the same bytes with the JDK's javax.sound μ-law codec.
+    "q38_audio_ulaw" ->
+      """SELECT doc_id AS media_id, 'wav' AS format,
+        | CAST(8000 AS INT) AS sample_rate,
+        | CAST((300 + (doc_id % 7) * 50) * 1000 // 8000 AS BIGINT) AS duration_ms,
+        | round(sqrt(list_avg([
+        |   CAST(power(
+        |     (CASE WHEN (255 - (doc_id * 13 + 7 * k) % 256) >= 128
+        |       THEN -(((((255 - (doc_id * 13 + 7 * k) % 256) % 128) % 16) * 8 + 132)
+        |              * power(2, ((255 - (doc_id * 13 + 7 * k) % 256) % 128) // 16) - 132)
+        |       ELSE  (((((255 - (doc_id * 13 + 7 * k) % 256) % 128) % 16) * 8 + 132)
+        |              * power(2, ((255 - (doc_id * 13 + 7 * k) % 256) % 128) // 16) - 132)
+        |      END), 2) AS DOUBLE)
+        |   for k in range(0, CAST(300 + (doc_id % 7) * 50 AS INT))])), 6) AS rms
         |FROM documents WHERE doc_id < 60 ORDER BY media_id""".stripMargin)
 }

@@ -183,6 +183,65 @@ object Multimodal {
     None
   }
 
+  /** Real COMPRESSED audio decode via the JDK's own javax.sound G.711
+    * codecs (μ-law and A-law ship with every JDK, like the ImageIO
+    * image codecs): any non-PCM WAV an installed provider accepts is
+    * companded-decoded to linear PCM16 and the RMS computed over the
+    * real samples. The JDK's μ-law table is bit-exact to the G.711
+    * closed form (spec-pinned), which is what lets the DuckDB oracle
+    * recompute the RMS from the code formula alone (q38). Returns None
+    * for PCM input (wavRms owns it), truncated files, or encodings no
+    * provider handles. */
+  def compressedWavRms(b: Array[Byte]): Option[Double] =
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(b))
+      val enc = in.getFormat.getEncoding
+      if (enc == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED)
+        None // uncompressed: the hand-rolled wavRms is the real answer
+      else {
+        val pcm = new javax.sound.sampled.AudioFormat(
+          javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+          in.getFormat.getSampleRate, 16, in.getFormat.getChannels,
+          2 * in.getFormat.getChannels, in.getFormat.getSampleRate, false)
+        val dec = javax.sound.sampled.AudioSystem.getAudioInputStream(pcm, in)
+        val bytes = dec.readAllBytes()
+        val n = bytes.length / 2
+        if (n == 0) Some(0.0)
+        else {
+          var sum = 0.0
+          var k = 0
+          while (k < n) {
+            val s = ((bytes(2 * k) & 0xFF) | (bytes(2 * k + 1) << 8)).toShort.toInt
+            sum += s.toDouble * s
+            k += 1
+          }
+          Some(math.sqrt(sum / n))
+        }
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Deterministic REAL μ-law WAV files for the q38 construct→decode
+    * oracle: fmt code 7 (G.711 μ-law), 8 kHz mono, 8-bit codes
+    * (id·13 + 7k) mod 256 — the oracle expands each code through the
+    * G.711 closed form ((mant·8 + 132) · 2^exp − 132, sign from the
+    * complemented top bit) and recomputes the RMS the JDK decoder must
+    * reproduce bit-exactly. */
+  def synthUlawBytes(id: Long): Array[Byte] = {
+    val ns = (300 + (id % 7) * 50).toInt
+    val out = java.nio.ByteBuffer.allocate(44 + ns)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("ISO-8859-1")).putInt(36 + ns)
+      .put("WAVE".getBytes("ISO-8859-1"))
+    out.put("fmt ".getBytes("ISO-8859-1")).putInt(16)
+      .putShort(7).putShort(1).putInt(8000).putInt(8000)
+      .putShort(1).putShort(8)
+    out.put("data".getBytes("ISO-8859-1")).putInt(ns)
+    var k = 0
+    while (k < ns) { out.put(((id * 13 + 7L * k) % 256).toByte); k += 1 }
+    out.array()
+  }
+
   private def be64(b: Array[Byte], off: Int): Long =
     ((be32(b, off).toLong & 0xFFFFFFFFL) << 32) |
       (be32(b, off + 4).toLong & 0xFFFFFFFFL)
@@ -336,7 +395,10 @@ object Multimodal {
             AvMeta(r.media_id, "wav", 0, 0, 0.0,
               info.map(_.sampleRate).getOrElse(0),
               info.map(_.durationMs).getOrElse(0L),
-              wavRms(r.payload).getOrElse(0.0))
+              // PCM16 → the hand decoder; companded (μ-law/A-law) →
+              // the JDK G.711 codec
+              wavRms(r.payload)
+                .orElse(compressedWavRms(r.payload)).getOrElse(0.0))
           case f @ ("png" | "gif" | "jpeg") =>
             // compressed formats the JDK ships a codec for: REAL pixel
             // decode (per-partition codec, initialized lazily below)

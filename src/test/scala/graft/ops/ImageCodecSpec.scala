@@ -72,6 +72,59 @@ class ImageCodecSpec extends SparkSpec {
     codec.decodeImage(vp8x) shouldBe None
   }
 
+  // ---- compressed AUDIO (javax.sound G.711 μ-law, same JDK-ships-it
+  // story as the image codecs) ----
+
+  private def g711UlawToLinear(code: Int): Int = {
+    val u = (~code) & 0xFF
+    val exp = (u >> 4) & 7
+    val mant = u & 0x0F
+    val lin = (((mant << 3) + 0x84) << exp) - 0x84
+    if ((u & 0x80) != 0) -lin else lin
+  }
+
+  test("ulaw wav: JDK codec decode equals the G.711 closed form") {
+    for (id <- 0L until 40L) {
+      val bytes = synthUlawBytes(id)
+      sniffFormat(bytes) shouldBe "wav"
+      // header parse still owns rate/duration (fmt 7, 8-bit)
+      val info = wavInfo(bytes).get
+      info.sampleRate shouldBe 8000
+      info.bitsPerSample shouldBe 8
+      val ns = (300 + (id % 7) * 50).toInt
+      info.nSamples shouldBe ns
+      // PCM hand decoder correctly refuses; the G.711 codec decodes
+      wavRms(bytes) shouldBe None
+      val rms = compressedWavRms(bytes).get
+      val expect = math.sqrt((0 until ns).map { k =>
+        val v = g711UlawToLinear(((id * 13 + 7L * k) % 256).toInt).toDouble
+        v * v
+      }.sum / ns)
+      rms shouldBe expect +- 1e-9
+    }
+  }
+
+  test("compressedWavRms: PCM input and garbage both yield None") {
+    // PCM16 (q36's synth): the hand decoder owns it
+    compressedWavRms(synthAvBytes(1L)) shouldBe None
+    compressedWavRms(Array[Byte](1, 2, 3)) shouldBe None
+    compressedWavRms(synthUlawBytes(3L).take(30)) shouldBe None
+  }
+
+  test("decodeAvFeatures routes ulaw rows through the G.711 codec") {
+    import org.apache.spark.sql.SparkSession
+    val s: SparkSession = spark
+    import s.implicits._
+    val media = spark.createDataset(Seq(
+      MediaRow(1L, "audio", synthUlawBytes(1L)),
+      MediaRow(2L, "audio", synthAvBytes(1L)))) // PCM16 control
+    val out = Multimodal.decodeAvFeatures(media).collect()
+      .map(m => m.media_id -> m).toMap
+    out(1L).sample_rate shouldBe 8000
+    out(1L).rms shouldBe compressedWavRms(synthUlawBytes(1L)).get +- 1e-12
+    out(2L).rms shouldBe wavRms(synthAvBytes(1L)).get +- 1e-12
+  }
+
   test("decodeImageFeatures: per-partition codec over the binary column") {
     import org.apache.spark.sql.SparkSession
     val s: SparkSession = spark
