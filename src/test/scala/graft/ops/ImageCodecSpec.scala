@@ -104,6 +104,34 @@ class ImageCodecSpec extends SparkSpec {
     }
   }
 
+  test("alaw wav: JDK codec decode equals the G.711 closed form " +
+    "(all 256 codes)") {
+    // fmt code 6 WAV carrying every A-law code once
+    val ns = 256
+    val out = java.nio.ByteBuffer.allocate(44 + ns)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("ISO-8859-1")).putInt(36 + ns)
+      .put("WAVE".getBytes("ISO-8859-1"))
+    out.put("fmt ".getBytes("ISO-8859-1")).putInt(16)
+      .putShort(6).putShort(1).putInt(8000).putInt(8000)
+      .putShort(1).putShort(8)
+    out.put("data".getBytes("ISO-8859-1")).putInt(ns)
+    (0 until ns).foreach(k => out.put(k.toByte))
+    def alawToLinear(c: Int): Int = {
+      val a = c ^ 0x55
+      val exp = (a >> 4) & 7
+      val mant = a & 0x0F
+      val lin =
+        if (exp == 0) (mant << 4) + 8
+        else ((mant << 4) + 0x108) << (exp - 1)
+      if ((a & 0x80) != 0) lin else -lin
+    }
+    val expect = math.sqrt((0 until ns).map { k =>
+      val v = alawToLinear(k).toDouble; v * v
+    }.sum / ns)
+    compressedWavRms(out.array()).get shouldBe expect +- 1e-9
+  }
+
   test("compressedWavRms: PCM input and garbage both yield None") {
     // PCM16 (q36's synth): the hand decoder owns it
     compressedWavRms(synthAvBytes(1L)) shouldBe None
