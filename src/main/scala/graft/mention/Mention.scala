@@ -32,7 +32,40 @@ object Mention {
     * (the contract is a broadcast-dictionary design, SURVEY.md §2 J2). */
   val MaxDictRows: Int = 8 * 1000 * 1000
 
-  def tokenize(text: String): Array[String] =
+  /** Frozen tokenizer, scanner form: maximal runs of [a-z0-9] from the
+    * Locale.ROOT-lowercased text. Exactly ≡ [[tokenizeRef]] for EVERY
+    * input — the split class is a pure ASCII set, so a direct char test
+    * on the same lowercased string cannot disagree with the regex
+    * (lowercasing itself stays `String.toLowerCase`: char-by-char
+    * Character.toLowerCase would diverge on one-to-many mappings like
+    * İ → i+U+0307). The regex form is retained below as the spec
+    * reference and fuzz-compared — same discipline as the extraction
+    * scanners. Scanner because this runs once per PAGE over ~20 KB of
+    * text (ClusterPhaseBench: mention detection costs as much as
+    * extraction) and per alias row. */
+  def tokenize(text: String): Array[String] = {
+    val lower = text.toLowerCase(Locale.ROOT)
+    val n = lower.length
+    val out = new scala.collection.mutable.ArrayBuffer[String](n / 6 + 4)
+    var i = 0
+    while (i < n) {
+      val c = lower.charAt(i)
+      if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')) {
+        val start = i
+        i += 1
+        while (i < n && {
+          val d = lower.charAt(i)
+          (d >= 'a' && d <= 'z') || (d >= '0' && d <= '9')
+        }) i += 1
+        out += lower.substring(start, i)
+      } else i += 1
+    }
+    out.toArray
+  }
+
+  /** The frozen-spec reference tokenizer (fuzz-pinned in
+    * MentionLinkSpec; [[tokenize]] must agree on every input). */
+  private[graft] def tokenizeRef(text: String): Array[String] =
     text.toLowerCase(Locale.ROOT).split("[^a-z0-9]+").filter(_.nonEmpty)
 
   def aliasTokenCount(alias: String): Int = tokenize(alias).length
@@ -86,9 +119,15 @@ object Mention {
         Iterator.range(0, toks.length)
           .filter(s => ft.contains(toks(s)))
           .flatMap { s =>
-            Iterator.range(1, maxLen + 1)
-              .filter(l => s + l <= toks.length)
-              .map(l => (url, s, l, toks.slice(s, s + l).mkString(" ")))
+            // surfaces grow incrementally: surface(l) = surface(l-1) +
+            // " " + next token (identical strings to the slice+mkString
+            // shape, without re-joining the prefix per length)
+            val maxL = math.min(maxLen, toks.length - s)
+            val sb = new java.lang.StringBuilder(toks(s))
+            Iterator.range(1, maxL + 1).map { l =>
+              if (l > 1) sb.append(' ').append(toks(s + l - 1))
+              (url, s, l, sb.toString)
+            }
           }
       }.toDF("url", "tok_start", "tok_len", "surface")
 
