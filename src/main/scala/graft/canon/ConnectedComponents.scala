@@ -51,23 +51,48 @@ object ConnectedComponents {
     * cheap aggregate per round instead of an `except` join. The round's
     * localCheckpoint is LAZY and the checksum is its materializing
     * action, so each round runs exactly one Spark job (round-1 ran two:
-    * eager checkpoint + checksum). */
+    * eager checkpoint + checksum).
+    *
+    * Round partitioning is SCALE-ADAPTIVE (round 6, guide §2): every
+    * round already knows the exact edge count from the previous round's
+    * checksum, so the ~5 shuffles inside a round are sized from the
+    * DATA (targeting [[RoundRowsPerPartition]] rows/partition, floor 1)
+    * instead of inheriting the session's fleet-sized constant — a
+    * 300-edge canonicalization ran 5 rounds × 5 shuffles × 32 empty
+    * partitions of pure task dispatch before this. The session setting
+    * stays the CEILING (never more partitions than configured) and is
+    * restored after the loop; large graphs are unaffected. */
   def run(edges0: DataFrame, maxIter: Int = 50): DataFrame = {
+    val spark = edges0.sparkSession
     var e = edges0.select(col("u").cast("long"), col("v").cast("long"))
       .filter(col("u") =!= col("v")).distinct().localCheckpoint()
     var prev = checksum(e)
     var i = 0
     var converged = prev._1 == 0L
-    while (!converged && i < maxIter) {
-      e = smallStar(largeStar(e)).localCheckpoint(false)
-      val cur = checksum(e)
-      converged = cur == prev
-      prev = cur
-      i += 1
-    }
+    val sessionParts = spark.conf.get("spark.sql.shuffle.partitions")
+    def roundParts(rows: Long): Int =
+      math.max(1L, math.min(rows / RoundRowsPerPartition,
+        sessionParts.toLong)).toInt
+    try {
+      while (!converged && i < maxIter) {
+        // planning of THIS round's single job (checksum materializes the
+        // lazy checkpoint) reads the scoped setting; prev._1 is the
+        // exact input edge count
+        spark.conf.set("spark.sql.shuffle.partitions", roundParts(prev._1))
+        e = smallStar(largeStar(e)).localCheckpoint(false)
+        val cur = checksum(e)
+        converged = cur == prev
+        prev = cur
+        i += 1
+      }
+    } finally spark.conf.set("spark.sql.shuffle.partitions", sessionParts)
     require(converged, s"connected components did not converge in $maxIter rounds")
     e // rows (u, v): v = canonical (min) id of u's component; v's own row absent
   }
+
+  /** Target edge rows per round-shuffle partition (~a few MB of (u, v)
+    * longs — small tasks on purpose: star rounds are join-heavy). */
+  val RoundRowsPerPartition: Long = 65536L
 
   private def checksum(e: DataFrame): (Long, Long) =
     graft.util.Checksum.of(e, Seq("u", "v"))

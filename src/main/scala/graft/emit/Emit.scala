@@ -23,11 +23,25 @@ object Emit {
     * at the root have an anchor. */
   val RootId = "graft:root"
 
-  /** mentions resolved to canonical entities. The mention stream is
-    * Zipf-skewed on entity_id (head entity on 20%+ of mentions) and the
-    * canon map at 10^12-doc scale is NOT broadcastable → explicit salted
-    * join (north_rule). */
+  /** mentions resolved to canonical entities. The canon map is bounded
+    * by the ENTITY VOCABULARY, not the corpus — the same
+    * dictionary-sized bound the Mention stage already enforces for its
+    * broadcast dictionary (Mention.MaxDictRows; canonMap's input
+    * entities come from that dictionary) — so the right join is a
+    * BROADCAST of canon (guide §3.1: broadcast the side that fits): the
+    * Zipf-skewed mention stream is then never shuffled at all, which
+    * dominates any skew mitigation (round 6; the salted shuffle join it
+    * replaces exchanged every mention AND exploded canon 32×, and is
+    * retained as [[saltedCanonicalMentions]] — the A4 skew shape for
+    * genuinely non-broadcastable dimensions, still spec-pinned equal). */
   def canonicalMentions(
+      linked: Dataset[LinkedMention],
+      canon: Dataset[CanonRow]): DataFrame =
+    linked.toDF().join(broadcast(canon.toDF()), Seq("entity_id"), "inner")
+
+  /** Explicit salted-join shape (A4) for a canon-like dimension too big
+    * to broadcast — agreement reference for [[canonicalMentions]]. */
+  private[graft] def saltedCanonicalMentions(
       linked: Dataset[LinkedMention],
       canon: Dataset[CanonRow]): DataFrame = {
     SaltedJoin.inner(
@@ -37,15 +51,35 @@ object Emit {
       saltSource = col("url"))
   }
 
-  /** Distinct (url, canon_id) page-entity pairs — the shared input of the
-    * mentions and relates_to branches. Callers that consume triples in
-    * one action should persist this (Pipeline.run does) so the salted
-    * canon join runs once, not once per branch. */
+  /** Distinct (url, canon_id) page-entity pairs. Still used by the
+    * incremental updater's bucket-scoped rebuilds and the phase probes;
+    * the full pipeline consumes [[pageEntitySets]] instead (round 6). */
   def pageEntities(
       linked: Dataset[LinkedMention],
       canon: Dataset[CanonRow]): DataFrame =
     canonicalMentions(linked, canon)
       .select(col("url"), col("canon_id")).distinct()
+
+  /** Per-url SORTED-DISTINCT canonical entity ids — ONE url-keyed
+    * aggregation shared by the mentions branch (explode) and the
+    * relates_to branch (capped pairs). Round 6: the previous shape ran
+    * a (url, canon_id) distinct exchange AND a second groupBy(url)
+    * exchange inside relatesPairs over the same stream; this folds both
+    * into one exchange, and the explode view is distinct by
+    * construction. The collect_set buffer is bounded by the page's own
+    * distinct-entity count, which is bounded by its token count (same
+    * bound relatesPairs always had). */
+  def pageEntitySets(
+      linked: Dataset[LinkedMention],
+      canon: Dataset[CanonRow]): DataFrame =
+    canonicalMentions(linked, canon)
+      .groupBy(col("url"))
+      .agg(array_sort(collect_set(col("canon_id"))).as("es"))
+
+  /** (url, canon_id) exploded view of [[pageEntitySets]] — row-equal to
+    * [[pageEntities]] (per-url sets are distinct by construction). */
+  def explodePageEntitySets(sets: DataFrame): DataFrame =
+    sets.select(col("url"), explode(col("es")).as("canon_id"))
 
   /** FROZEN relates_to policy: co-mention pairs on a page are generated
     * among at most this many distinct entities — the RelatesCap SMALLEST
@@ -68,13 +102,23 @@ object Emit {
     val capped = perPage.groupBy(col("url"))
       .agg(slice(array_sort(collect_set(col("canon_id"))), 1, RelatesCap)
         .as("es"))
+    relatesFromCapped(capped.select(col("es")))
+  }
+
+  /** relates_to pairs from an already-aggregated per-url entity-set
+    * frame ([[pageEntitySets]]) — the pipeline path: no second
+    * groupBy(url) over the mention stream. Identical policy: pairs
+    * among the RelatesCap SMALLEST canon ids per page. */
+  def relatesFromSets(sets: DataFrame): DataFrame =
+    relatesFromCapped(sets.select(slice(col("es"), 1, RelatesCap).as("es")))
+
+  private def relatesFromCapped(capped: DataFrame): DataFrame =
     capped
       .select(explode(graft.functions.ArrayPairs.array_pairs(col("es")))
         .as("p"))
       .select(concat(lit("ent:"), col("p.x")).as("subj"),
         concat(lit("ent:"), col("p.y")).as("obj"))
       .distinct()
-  }
 
   /** Built-ins-only reference for ArrayPairs (nested interpreted
     * transforms; spec-pinned equal to the native expression). */
@@ -83,11 +127,15 @@ object Emit {
       transform(slice(es, i + 2, size(es)),
         b => struct(a.as("x"), b.as("y")))))
 
+  /** @param pageEntitySetsPre optional pre-computed (and ideally
+    *        persisted — Pipeline.run/build do) [[pageEntitySets]] frame
+    *        so the canon join + url aggregation run once, not once per
+    *        consuming branch. */
   def triples(
       extracted: Dataset[ExtractedPage],
       linked: Dataset[LinkedMention],
       canon: Dataset[CanonRow],
-      pageEntitiesPre: Option[DataFrame] = None): Dataset[TripleRow] = {
+      pageEntitySetsPre: Option[DataFrame] = None): Dataset[TripleRow] = {
     val spark = extracted.sparkSession
     import spark.implicits._
     val ex = extracted.toDF()
@@ -97,9 +145,11 @@ object Emit {
     val contains = Hierarchy.containsEdges(ex.select($"url"))
       .select($"subj", lit(Pred.Contains).as("pred"), $"obj")
 
-    val perPage = pageEntitiesPre.getOrElse(pageEntities(linked, canon))
+    val sets = pageEntitySetsPre.getOrElse(pageEntitySets(linked, canon))
 
-    val mentions = perPage
+    // per-url sets are distinct by construction — the explode IS the
+    // distinct (url, canon_id) stream, no extra exchange
+    val mentions = explodePageEntitySets(sets)
       .select($"url".as("subj"), lit(Pred.Mentions).as("pred"),
         concat(lit("ent:"), $"canon_id").as("obj"))
 
@@ -113,7 +163,7 @@ object Emit {
     // co-mention on a page → relates_to between canonical entities
     // (≙ CALLS: MERGE collapses multi-site pairs to one edge; self-pairs
     // excluded — a page mentioning one entity twice is not a relation).
-    val relates = relatesPairs(perPage)
+    val relates = relatesFromSets(sets)
       .select($"subj", lit(Pred.RelatesTo).as("pred"), $"obj")
 
     contains.union(mentions).union(linksTo)

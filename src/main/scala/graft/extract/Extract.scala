@@ -92,12 +92,23 @@ object Extract {
   def runAuto(pages: Dataset[PageRow]): Dataset[ExtractedPage] =
     run(pages, inferExtractor(pages))
 
-  /** Hard cap on the driver-collected contested-winner table (urls with
-    * more than one crawl row): ~4M entries ≈ a few hundred MB broadcast.
-    * Crawl batches dedup within a capture window, so contested urls are
-    * a small percentage of the batch; over the cap [[run]] falls back to
-    * the wide-shuffle plan, which is correct at any scale. */
-  val MaxContestedUrls: Int = 4 * 1000 * 1000
+  /** Cap on the BROADCAST winner relation (contested-url rows). The
+    * winner table never touches the driver as data (round 6 — the
+    * previous plan `take()`-collected it into a driver HashMap, a
+    * driver-heap cliff at ~4M contested urls); it is built executor-side
+    * by a broadcast hash join, so the binding limit is executor memory /
+    * Spark's 512M-row broadcast cap, not driver heap. Over this cap
+    * (a >100-billion-page batch at the ~2% contested rate of a crawl
+    * capture window) [[run]] falls back to the wide-shuffle plan, which
+    * is correct at any scale. */
+  val MaxBroadcastWinners: Long = 200L * 1000 * 1000
+
+  /** Cap on the driver-collected ESCALATED url set (urls whose max
+    * warc_ts is tied, or whose winning warc_ts is null — same-second
+    * byte-identical recrawls). These are the only rows the driver ever
+    * sees; a batch with more of them than this is pathological and takes
+    * the wide plan whole. */
+  val MaxEscalatedUrls: Int = 4 * 1000 * 1000
 
   /** Url-dedup + extraction with a KEY-WIDTH dedup pass (round-5 scaling
     * lever — the ~12 KB/row extracted-record shuffle was the cluster
@@ -110,13 +121,20 @@ object Extract {
     *     bytes): the html hash only matters as a tie-break WITHIN a
     *     url's max warc_ts, so hashing every row up front — as the first
     *     cut of this plan did — re-read the whole corpus just to break
-    *     ties that almost never happen.
-    *  2. Pass 2 scans the input once, drops loser rows with a broadcast
-    *     winner-timestamp probe (uncontested urls pass untouched), and
-    *     extracts ONLY the winners map-side. The extracted rows never
-    *     cross a shuffle; losers are never extracted at all (the old
-    *     plan extracted them first and discarded them after the wide
-    *     shuffle).
+    *     ties that almost never happen. The narrow winner table is
+    *     localCheckpoint-ed: ONE materialization feeds every consumer
+    *     (no second corpus scan), and the winner set is pinned even if
+    *     the upstream source is not bit-deterministic across jobs.
+    *  2. Pass 2 scans the input once and drops loser rows with a
+    *     BROADCAST HASH JOIN against the winner table — built
+    *     executor-side from the checkpointed pass-1 output, no driver
+    *     round-trip (round 6; the driver HashMap it replaces was a heap
+    *     cliff at ~4M contested urls and compared raw Timestamps —
+    *     null-winner NPE, sub-microsecond mismatch hazard; the SQL-side
+    *     equality is Catalyst-truncated on both sides and null-ts
+    *     winners escalate instead of NPE-ing). Uncontested urls pass
+    *     untouched; only winners are ever extracted, and the extracted
+    *     rows never cross a shuffle.
     *
     * The keep-latest tie-break is unchanged and shared: max (warc_ts,
     * xxhash64(html)) — the ONE frozen total-order key of dedupLatest and
@@ -124,11 +142,10 @@ object Extract {
     * UNIQUE max warc_ts (the overwhelmingly common case) never consults
     * the hash leg of that key, so skipping the hash is semantics-free.
     * The rare url whose max warc_ts is held by SEVERAL rows (same-second
-    * recrawls, byte-identical captures) is ESCALATED to the legacy
-    * wide-shuffle plan on just its own rows — the full frozen key,
-    * decided at the driver, so the common case plans no second branch at
-    * all. A contested set over [[MaxContestedUrls]] (pathological batch)
-    * also falls back to the wide plan rather than overfilling the driver.
+    * recrawls, byte-identical captures) — or is null — is ESCALATED to
+    * the legacy wide-shuffle plan on just its own rows: the full frozen
+    * key, decided at the driver from a [[MaxEscalatedUrls]]-capped
+    * collect, so the common case plans no second branch at all.
     *
     * ≙ reference chunk-merge dedup (clangd_index_yaml_parser.py:355-372
     * "last wins" dict insert), re-shaped so the merge key is ~30 bytes
@@ -138,28 +155,53 @@ object Extract {
       extractor: TextExtractor = HtmlTextExtractor): Dataset[ExtractedPage] = {
     val spark = pages.sparkSession
     import spark.implicits._
-    val contested = contestedUrls(pages).take(MaxContestedUrls + 1)
-    if (contested.length > MaxContestedUrls) return runWideShuffle(pages, extractor)
+    // lazy checkpoint + ONE aggregate as its materializing action: total
+    // and escalated counts in a single job decide the plan path (the
+    // first cut ran count + an incremental take — ~5 driver-synchronous
+    // jobs; visible fixed cost at small-corpus latencies)
+    val winners = contestedUrls(pages).localCheckpoint(false)
+    val escCond = $"c" > 1L || $"warc_ts".isNull
+    val r = winners
+      .agg(count(lit(1)).as("n"), count_if(escCond).as("nEsc")).head()
+    val (nWin, nEsc) = (r.getLong(0), r.getLong(1))
+    if (nWin > MaxBroadcastWinners || nEsc > MaxEscalatedUrls)
+      return runWideShuffle(pages, extractor)
+    val esc: Array[String] =
+      if (nEsc == 0L) Array.empty
+      else winners.filter(escCond).select($"url").as[String].collect()
 
-    // url → (winning warc_ts, escalated: max-ts row not unique)
-    val winners = new java.util.HashMap[String, (java.sql.Timestamp, Boolean)](
-      contested.length * 2 + 16)
-    contested.foreach(r =>
-      winners.put(r.getString(0), (r.getTimestamp(1), r.getLong(2) > 1L)))
-    val winnersB = spark.sparkContext.broadcast(winners)
-    val main = pages
-      .filter { p =>
-        val w = winnersB.value.get(p.url)
-        w == null || (!w._2 && w._1.equals(p.warc_ts))
-      }
-      .map(p => extractOne(p, extractor))
-    val escalated = contested.filter(_.getLong(2) > 1L).map(_.getString(0)).toSet
-    if (escalated.isEmpty) main
-    else { // max-ts ties (needs the html-hash leg of the frozen key):
+    val keep = winners.filter($"c" === 1L && $"warc_ts".isNotNull)
+      .select($"url", $"warc_ts".as("__win_ts"))
+    // Scan-parallelism floor for the EXTRACTION side (guide §2.5/§6):
+    // parquet bin-packing folds a small-file input into far fewer
+    // splits than cores (the 20k bench table packs 256 × 0.5 MB files
+    // into ~10 splits — extraction ran ~10-wide on 32 cores, the rest
+    // of the fleet idle). When the scan grants fewer partitions than
+    // the session's task target, round-robin the page rows up to it —
+    // they move ONCE, before the only pass that reads them whole. Pass
+    // 1 stays on the raw scan (html stays pruned out of it), and at
+    // cluster scale a real corpus has orders of magnitude more splits
+    // than cores, so this branch never fires there.
+    val taskTarget = math.max(spark.sparkContext.defaultParallelism * 3,
+      spark.sessionState.conf.numShufflePartitions)
+    val scanParts = pages.rdd.getNumPartitions
+    val pagesWide =
+      if (scanParts < taskTarget) pages.repartition(taskTarget) else pages
+    // left join: uncontested urls get a null __win_ts and pass; loser
+    // rows (warc_ts ≠ winning ts, including null warc_ts under a
+    // non-null winner) fail the filter and are never extracted
+    val probed = pagesWide.toDF()
+      .join(broadcast(keep), Seq("url"), "left")
+      .filter($"__win_ts".isNull || $"warc_ts" === $"__win_ts")
+      .drop("__win_ts").as[PageRow]
+    if (esc.isEmpty) probed.map(p => extractOne(p, extractor))
+    else { // winner-key ties (need the html-hash leg of the frozen key):
            // only THEIR rows take the legacy wide plan
-      val escB = spark.sparkContext.broadcast(escalated)
-      main.union(
-        runWideShuffle(pages.filter(p => escB.value.contains(p.url)), extractor))
+      val escB = spark.sparkContext.broadcast(esc.toSet)
+      probed.filter(p => !escB.value.contains(p.url))
+        .map(p => extractOne(p, extractor))
+        .union(
+          runWideShuffle(pages.filter(p => escB.value.contains(p.url)), extractor))
     }
   }
 

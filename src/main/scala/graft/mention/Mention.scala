@@ -17,10 +17,17 @@ import org.apache.spark.sql.functions._
   *  - a mention has one candidate row per dictionary entry of its alias.
   *
   * Execution shape (north_star: "candidate generation via a broadcast
-  * alias dictionary"): n-gram explode feeds a BroadcastHashJoin — the
-  * probe is map-side, pipelined inside whole-stage codegen, no shuffle of
-  * the big side. ≙ reference span-lookup probe (function_span_provider
-  * .py:35-82), where the spans dict is the broadcast side.
+  * alias dictionary"): the dictionary is compiled ONCE into a token-path
+  * trie and broadcast; each page walks the trie from every start
+  * position, so a candidate costs a hash probe per token instead of a
+  * materialized n-gram string + broadcast-hash-join probe (round 6 —
+  * the n-gram explode built T×maxLen surface strings per page and was
+  * ~60% of the cost of extraction at 2 cores, BENCH/BASELINE.md). The
+  * previous explode→broadcast-join shape is retained as
+  * [[detectJoin]], the spec-pinned agreement reference, same discipline
+  * as every scanner rewrite. ≙ reference span-lookup probe
+  * (function_span_provider.py:35-82), where the spans dict is the
+  * broadcast side.
   */
 object Mention {
 
@@ -70,6 +77,56 @@ object Mention {
 
   def aliasTokenCount(alias: String): Int = tokenize(alias).length
 
+  /** One compiled dictionary entry at a trie terminal: the ORIGINAL
+    * dictionary row (alias string kept verbatim — candidates carry it). */
+  private[mention] final case class DictEntry(
+      alias: String, entityId: Long, prior: Double)
+
+  /** Token-path trie node. Children are keyed by token string; `entries`
+    * holds one element per dictionary ROW whose alias equals the
+    * space-joined token path to this node — duplicates preserved, so the
+    * walk emits exactly one candidate per dict row, as the broadcast
+    * join did. Plain java.util.HashMap: built once on the driver,
+    * broadcast, probed read-only executor-side. */
+  private[mention] final class TrieNode extends Serializable {
+    var children: java.util.HashMap[String, TrieNode] = null
+    var entries: List[DictEntry] = Nil
+    def child(tok: String): TrieNode =
+      if (children == null) null else children.get(tok)
+  }
+
+  /** Compile dictionary rows into the token-path trie.
+    *
+    * An alias can equal a space-joined surface iff it IS a sequence of
+    * nonempty [a-z0-9]+ segments joined by single spaces — surfaces are
+    * built from [[tokenize]] output, which yields exactly such tokens.
+    * Any other alias ("Acme", "a  b", "café", "") could never match in
+    * the join shape either, so skipping it here is semantics-free (the
+    * agreement spec fuzzes this equivalence). */
+  private[mention] def buildTrie(rows: Iterable[AliasRow]): TrieNode = {
+    val root = new TrieNode
+    def matchableSeg(s: String): Boolean =
+      s.nonEmpty && s.forall(c => (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9'))
+    rows.foreach { a =>
+      val segs = a.alias.split(" ", -1)
+      if (segs.forall(matchableSeg)) {
+        var node = root
+        segs.foreach { seg =>
+          if (node.children == null)
+            node.children = new java.util.HashMap[String, TrieNode](4)
+          var nxt = node.children.get(seg)
+          if (nxt == null) { nxt = new TrieNode; node.children.put(seg, nxt) }
+          node = nxt
+        }
+        // append preserves dictionary row multiplicity; order of entries
+        // within a node is irrelevant (candidate rows are an unordered
+        // multiset and the downstream argmax is order-insensitive)
+        node.entries = DictEntry(a.alias, a.entity_id, a.prior) :: node.entries
+      }
+    }
+    root
+  }
+
   def detect(
       extracted: Dataset[ExtractedPage],
       dict: Dataset[AliasRow],
@@ -77,25 +134,13 @@ object Mention {
     val spark = extracted.sparkSession
     import spark.implicits._
 
-    // Longest alias in the dictionary bounds n-gram generation. Tiny
-    // one-row aggregate, same shape as the reference's schema-version
-    // inference (clangd_index_yaml_parser.py:276-281).
-    // ONE dictionary-sized collect feeds both inferences (two separate
-    // jobs previously — visible fixed cost at small-corpus latencies):
-    //  - maxLen: longest alias bounds n-gram generation (tiny aggregate,
-    //    same shape as the reference's schema-version inference,
-    //    clangd_index_yaml_parser.py:276-281); empty dict → no candidates;
-    //  - firstTokens scale guard: a page with T tokens would otherwise
-    //    materialize T*maxLen n-gram strings (60 GB+ of garbage per 10^8
-    //    pages). An n-gram can only match if its FIRST token starts some
-    //    alias, so a broadcast first-token set prunes start positions
-    //    before any string is built. Semantics unchanged.
+    // ONE dictionary-sized collect: the dictionary is the broadcast side
+    // by contract (J2), so collecting it to compile the trie is the same
+    // driver/executor footprint the broadcast hash join already paid.
     // take(cap+1), not collect(): the over-cap case must fail with a
-    // diagnosis BEFORE materializing a 100-GB dictionary on the driver
-    val dictStats = dict
-      .map(a => (aliasTokenCount(a.alias), tokenize(a.alias).headOption.getOrElse("")))
-      .take(maxDictRows + 1)
-    if (dictStats.length > maxDictRows)
+    // diagnosis BEFORE materializing a 100-GB dictionary on the driver.
+    val rows = dict.take(maxDictRows + 1)
+    if (rows.length > maxDictRows)
       throw new IllegalStateException(
         s"alias dictionary exceeds Mention.MaxDictRows = $maxDictRows rows. " +
           "The linking contract (SURVEY.md §2 J2 / north_star) is a " +
@@ -104,14 +149,67 @@ object Mention {
           "the shuffle-join variant instead — partition aliases by first " +
           "token and sort-merge against the n-gram stream — not a silent " +
           "driver/executor OOM here.")
+    val root = buildTrie(rows)
+    if (root.children == null) return spark.emptyDataset[CandidateRow]
+    val trieB = spark.sparkContext.broadcast(root)
+
+    // project to (url, text) BEFORE the typed boundary: the object
+    // deserializer otherwise rebuilds the full ExtractedPage (links
+    // array, hashes, …) per row just to read two fields
+    extracted.select($"url", $"text").as[(String, String)]
+      .flatMap { case (url, text) =>
+        val toks = tokenize(text)
+        val root = trieB.value
+        val out = new scala.collection.mutable.ArrayBuffer[CandidateRow]
+        var s = 0
+        while (s < toks.length) {
+          var node = root.child(toks(s))
+          var l = 1
+          while (node != null) {
+            var es = node.entries
+            while (es.nonEmpty) {
+              val e = es.head
+              out += CandidateRow(url, s, l, e.alias, e.entityId, e.prior)
+              es = es.tail
+            }
+            node = if (s + l < toks.length) node.child(toks(s + l)) else null
+            l += 1
+          }
+          s += 1
+        }
+        out
+      }
+  }
+
+  /** The pre-round-6 explode→broadcast-join shape, retained as the
+    * agreement reference for [[detect]] (MentionLinkSpec fuzz-compares
+    * the two on adversarial dictionaries): every token n-gram surface is
+    * materialized as a string and probed against the broadcast
+    * dictionary relation. */
+  private[graft] def detectJoin(
+      extracted: Dataset[ExtractedPage],
+      dict: Dataset[AliasRow],
+      maxDictRows: Int = MaxDictRows): Dataset[CandidateRow] = {
+    val spark = extracted.sparkSession
+    import spark.implicits._
+
+    // Longest alias in the dictionary bounds n-gram generation; the
+    // broadcast first-token set prunes start positions before any
+    // surface string is built (an n-gram can only match if its FIRST
+    // token starts some alias). Same shape as the reference's
+    // schema-version inference (clangd_index_yaml_parser.py:276-281).
+    val dictStats = dict
+      .map(a => (aliasTokenCount(a.alias), tokenize(a.alias).headOption.getOrElse("")))
+      .take(maxDictRows + 1)
+    if (dictStats.length > maxDictRows)
+      throw new IllegalStateException(
+        s"alias dictionary exceeds Mention.MaxDictRows = $maxDictRows rows " +
+          "(BROADCAST dictionary contract)")
     if (dictStats.isEmpty) return spark.emptyDataset[CandidateRow]
     val maxLen = dictStats.iterator.map(_._1).max
     if (maxLen == 0) return spark.emptyDataset[CandidateRow]
     val firstTokensB = spark.sparkContext.broadcast(dictStats.iterator.map(_._2).toSet)
 
-    // project to (url, text) BEFORE the typed boundary: the object
-    // deserializer otherwise rebuilds the full ExtractedPage (links
-    // array, hashes, …) per row just to read two fields
     val grams = extracted.select($"url", $"text").as[(String, String)]
       .flatMap { case (url, text) =>
         val toks = tokenize(text)

@@ -41,6 +41,24 @@ object DedupOps {
       .agg(count(lit(1)).as("cluster_size"), min(col(idCol)).as("keep_id"))
       .filter(col("cluster_size") > 1)
 
+  /** Ordered co-occurrence pairs of an (… keyCols …, id) stream: every
+    * (id_a < id_b) sharing a key, one output row per sharing key.
+    * groupBy(key) + sorted id array + native pair generation — the
+    * stream crosses ONE exchange and its upstream (shingle explode,
+    * minhash/simhash signatures) is computed once. The self-join shape
+    * it replaces (round 6; retained per operator as the `…Join`
+    * agreement references below) exchanged the stream twice and, because
+    * Spark does not CSE across a self-join, re-computed the signature
+    * subtree on BOTH sides. Skew note: a key shared by k docs emits
+    * C(k,2) pairs from one task either way — identical to the join's
+    * per-key quadratic fan-out; callers bound k (stop-shingle cap /
+    * banding) exactly as before. */
+  private def coPairs(df: DataFrame, keyCols: Seq[String], idCol: String): DataFrame =
+    df.groupBy(keyCols.map(col): _*)
+      .agg(sort_array(collect_list(col(idCol))).as("__ids"))
+      .select(explode(graft.functions.ArrayPairs.array_pairs(col("__ids"))).as("p"))
+      .select(col("p.x").as("id_a"), col("p.y").as("id_b"))
+
   /** Exact n-gram Jaccard similar pairs (id_a < id_b, jaccard >= tau).
     * `maxShingleDf` drops shingles present in more than that many docs
     * (stop-shingle cap — the scale knob; pass Int.MaxValue for exact).
@@ -49,6 +67,34 @@ object DedupOps {
     * stop-word-removal semantics, self-consistent instead of mixing an
     * unfiltered denominator with a filtered numerator. */
   def jaccardPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int, tau: Double, maxShingleDf: Int = Int.MaxValue): DataFrame = {
+    val sh = df.select(col(idCol).as("id"),
+      explode(shingles(TextOps.tokens(col(textCol)), n)).as("s"))
+    val filtered =
+      if (maxShingleDf == Int.MaxValue) sh
+      else {
+        val hot = sh.groupBy("s").count().filter(col("count") > maxShingleDf)
+        sh.join(hot, Seq("s"), "left_anti")
+      }
+    val sizes = filtered.groupBy("id").agg(count(lit(1)).as("n_sh"))
+    val pairs = coPairs(filtered, Seq("s"), "id")
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("common"))
+    pairs
+      .join(sizes.select(col("id").as("id_a"), col("n_sh").as("n_a")), "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("n_sh").as("n_b")), "id_b")
+      .withColumn("jaccard",
+        col("common").cast("double") /
+          (col("n_a") + col("n_b") - col("common")).cast("double"))
+      .filter(col("jaccard") >= tau)
+      .select(col("id_a"), col("id_b"), col("common"), col("n_a"), col("n_b"),
+        round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** The pre-round-6 shingle SELF-JOIN pair shape — agreement reference
+    * for [[jaccardPairs]] (OpsSpec pins row-identical output). */
+  private[graft] def jaccardPairsJoin(
       df: DataFrame, idCol: String, textCol: String,
       n: Int, tau: Double, maxShingleDf: Int = Int.MaxValue): DataFrame = {
     val sh = df.select(col(idCol).as("id"),
@@ -113,8 +159,20 @@ object DedupOps {
 
   /** LSH candidate pairs from minhash signatures: `bands` bands of
     * `rowsPerBand` signature rows; docs sharing any full band are
-    * candidates. Returns distinct (id_a < id_b) candidate pairs. */
+    * candidates. Returns distinct (id_a < id_b) candidate pairs.
+    * Pair generation via [[coPairs]] — the signature projection (the
+    * expensive minhash loop) runs ONCE; the replaced self-join
+    * (retained as [[minhashCandidatesJoin]]) computed every signature
+    * twice and exchanged the banded stream twice. */
   def minhashCandidates(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int, bands: Int, rowsPerBand: Int): DataFrame =
+    coPairs(bandedKeys(df, idCol, textCol, n, bands, rowsPerBand),
+      Seq("band", "key"), "id").distinct()
+
+  /** (id, band, key) banded-signature stream shared by both pair
+    * shapes. */
+  private def bandedKeys(
       df: DataFrame, idCol: String, textCol: String,
       n: Int, bands: Int, rowsPerBand: Int): DataFrame = {
     val k = bands * rowsPerBand
@@ -122,10 +180,18 @@ object DedupOps {
         shingles(TextOps.tokens(col(textCol)), n).as("sh"))
       .filter(size(col("sh")) > 0) // docs with < n tokens have no shingles
     val sig = withSh.select(col("id"), minhashSigFromShingles(col("sh"), k).as("sig"))
-    val banded = sig.select(col("id"), posexplode(
+    sig.select(col("id"), posexplode(
       transform(sequence(lit(0), lit(bands - 1)),
         b => concat_ws("|", slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))
       .toDF("id", "band", "key")
+  }
+
+  /** The pre-round-6 banded SELF-JOIN shape — agreement reference for
+    * [[minhashCandidates]] (OpsSpec pins row-identical output). */
+  private[graft] def minhashCandidatesJoin(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int, bands: Int, rowsPerBand: Int): DataFrame = {
+    val banded = bandedKeys(df, idCol, textCol, n, bands, rowsPerBand)
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.id") < col("b.id"))
@@ -205,17 +271,47 @@ object DedupOps {
 
   /** SimHash near-dup pairs within a Hamming radius. Banding on 4×16-bit
     * chunks: any pair within Hamming distance 3 shares at least one
-    * exact 16-bit chunk (pigeonhole) → equi-join candidates, then exact
-    * bit_count verification. No quadratic join. */
+    * exact 16-bit chunk (pigeonhole) → per-chunk co-occurrence pairs,
+    * then exact bit_count verification. No quadratic join. Pair
+    * generation groups by (chunk_idx, chunk) and pairs a sorted
+    * (id, sig) struct array — the SimHash64 projection runs ONCE; the
+    * replaced self-join (retained as [[simhashPairsJoin]]) computed
+    * every signature twice and exchanged the chunk stream twice. The
+    * struct pairs come from the generic HOF shape (Emit.pairsHof);
+    * chunk groups are banding-bounded so the interpreted lambda is off
+    * any hot loop. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String, maxHamming: Int = 3): DataFrame = {
     require(maxHamming <= 3, "4-band pigeonhole only covers radius 3")
+    simhashChunks(df, idCol, textCol)
+      .groupBy(col("chunk_idx"), col("chunk"))
+      .agg(sort_array(collect_list(struct(col("id"), col("sig")))).as("xs"))
+      .select(explode(graft.emit.Emit.pairsHof(col("xs"))).as("p"))
+      .select(col("p.x.id").as("id_a"), col("p.y.id").as("id_b"),
+        col("p.x.sig").as("sig_a"), col("p.y.sig").as("sig_b"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
+  /** (id, sig, chunk_idx, chunk) stream shared by both pair shapes. */
+  private def simhashChunks(
+      df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val sigs = df.select(col(idCol).as("id"),
       graft.functions.SimHash64.simhash64(TextOps.tokens(col(textCol)))
         .as("sig"))
-    val chunks = sigs.select(col("id"), col("sig"), posexplode(array(
+    sigs.select(col("id"), col("sig"), posexplode(array(
       (0 until 4).map(i =>
         shiftright(col("sig"), i * 16).bitwiseAND(lit(0xFFFFL))): _*)))
       .toDF("id", "sig", "chunk_idx", "chunk")
+  }
+
+  /** The pre-round-6 chunk SELF-JOIN shape — agreement reference for
+    * [[simhashPairs]] (OpsSpec pins row-identical output). */
+  private[graft] def simhashPairsJoin(
+      df: DataFrame, idCol: String, textCol: String, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "4-band pigeonhole only covers radius 3")
+    val chunks = simhashChunks(df, idCol, textCol)
     chunks.as("a").join(chunks.as("b"),
         col("a.chunk_idx") === col("b.chunk_idx") &&
           col("a.chunk") === col("b.chunk") && col("a.id") < col("b.id"))

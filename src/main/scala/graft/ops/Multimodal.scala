@@ -197,8 +197,15 @@ object Multimodal {
       val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
         new java.io.ByteArrayInputStream(b))
       val enc = in.getFormat.getEncoding
-      if (enc == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED)
-        None // uncompressed: the hand-rolled wavRms is the real answer
+      // ANY PCM encoding is uncompressed input and the hand-rolled
+      // wavRms owns it — 8-bit PCM surfaces as PCM_UNSIGNED in
+      // javax.sound and must not be format-converted to 16-bit here
+      // (it would report an RMS at the wrong scale — ADVICE r5 #2);
+      // the G.711 path is strictly for companded encodings.
+      if (enc == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+          enc == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED ||
+          enc == javax.sound.sampled.AudioFormat.Encoding.PCM_FLOAT)
+        None
       else {
         val pcm = new javax.sound.sampled.AudioFormat(
           javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,

@@ -43,15 +43,17 @@ object Pipeline {
       triples: Dataset[TripleRow],
       nodes: Dataset[NodeRow],
       adjacency: Dataset[AdjacencyRow],
-      pageEntities: DataFrame,
+      pageEntitySets: DataFrame,
       candidates: Dataset[CandidateRow]) {
+    /** (url, canon_id) exploded view of [[pageEntitySets]]. */
+    def pageEntities: DataFrame = Emit.explodePageEntitySets(pageEntitySets)
     /** Release the intermediate caches `run` installed. */
     def unpersist(): Unit = {
       extracted.unpersist()
       candidates.unpersist()
       linked.unpersist()
       canon.unpersist()
-      pageEntities.unpersist()
+      pageEntitySets.unpersist()
     }
   }
 
@@ -90,17 +92,19 @@ object Pipeline {
       spark.sessionState.conf.numShufflePartitions)
     val extracted = Extract.run(pages).coalesce(cacheParts)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // persisted because resolve() consumes candidates twice: eagerly for
-    // the alias-df aggregate and again in the linking pass
+    // persisted because resolve() consumes candidates twice: once to
+    // build the lazy alias-df broadcast and again in the linking pass
+    // (both inside the first action that touches `linked` — round 6
+    // removed the eager driver collect that used to run here)
     val cands = Mention.detect(extracted, aliases)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val linked = Link.resolve(cands, nPages).persist(StorageLevel.MEMORY_AND_DISK)
     val entities = aliases.map(a => java.lang.Long.valueOf(a.entity_id)).distinct()
     val canon = ConnectedComponents.canonMap(entities, sameas)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // shared by the mentions and relates_to branches: the salted canon
-    // join runs once per action, not once per consuming branch
-    val pe = Emit.pageEntities(linked, canon)
+    // shared by the mentions and relates_to branches: the canon join +
+    // per-url aggregation run once per action, not once per branch
+    val pe = Emit.pageEntitySets(linked, canon)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val triples = Emit.triples(extracted, linked, canon, Some(pe))
     val nodesAll = Emit.nodes(extracted, canon)
@@ -203,7 +207,7 @@ object Pipeline {
     // shared by the mentions and relates_to branches inside the triples
     // stage write (run() persists the same frame for the same reason);
     // never materialized at all when the stage resumes from its manifest
-    val peShared = Emit.pageEntities(
+    val peShared = Emit.pageEntitySets(
         linked.drop("bucket").as[LinkedMention], canon.as[CanonRow])
       .persist(StorageLevel.MEMORY_AND_DISK)
     val triples = Snapshot.stage(spark, outDir, "triples", snapshotId,

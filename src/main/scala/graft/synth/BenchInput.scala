@@ -9,7 +9,7 @@ import org.apache.spark.sql.SparkSession
   *  - realistic page shape (tens of KB html, ~6 mentions/page) — the
   *    fixture defaults are deliberately light and would make the KG
   *    pipeline overhead-bound instead of extract-bound;
-  *  - a FIXED 64-part-file parquet layout. Scan parallelism is capped
+  *  - a FIXED PartFiles-count parquet layout. Scan parallelism is capped
   *    by input splits, so a stale table written by a low-core session
   *    (or by a pre-64-file version of a generator) silently caps EVERY
   *    later run regardless of executor count — measured 2.2× scaling
@@ -43,8 +43,9 @@ object BenchInput {
     s"/dev/shm/graft-bench-input-$nPages$suffix"
   }
 
-  /** Path of a valid (committed AND 64-part-file) bench input table for
-    * `nPages`, (re)generating if absent, uncommitted, or mis-laid-out. */
+  /** Path of a valid (committed AND PartFiles-count) bench input table
+    * for `nPages`, (re)generating if absent, uncommitted, or
+    * mis-laid-out. */
   def ensure(spark: SparkSession, nPages: Long): String = {
     val dir = dirFor(nPages)
     val d = new java.io.File(dir)

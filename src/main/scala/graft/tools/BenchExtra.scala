@@ -1,0 +1,188 @@
+package graft.tools
+
+import graft.SparkEntry
+import graft.canon.ConnectedComponents
+import graft.extract.Extract
+import graft.link.Link
+import graft.mention.Mention
+import graft.pipeline.Pipeline
+import graft.synth.Synth
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Round-6 optimization instrument (spark_optimization_guide.md §1) —
+  * NOT part of the frozen driver contract (Bench.scala is the graded
+  * harness; this main exists so optimization evidence can be gathered
+  * without touching it).
+  *
+  * Modes (args(0)):
+  *  - `plans <tag> [qname...]`: write `.explain("formatted")` of each
+  *    declared query to plans/r06/<qname>_<tag>.txt (default: all).
+  *  - `queries [qname...]`: noop-sink-isolated min-of-3 per query
+  *    (guide §1.4 — times the computation, not the count() shortcut).
+  *  - `phases [nPages]`: per-stage wall breakdown of the KG pipeline
+  *    exactly as Pipeline.run composes it (cache-materializing action
+  *    per stage, jobs labelled for the UI).
+  *
+  * Session setup mirrors graft.Bench (same master/shuffle conf) so the
+  * numbers are comparable to BENCH_r*.json legs.
+  */
+object BenchExtra {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-bench-extra")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def noop(df: DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    def time(body: => Unit): Double = {
+      val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+    }
+
+    args.headOption.getOrElse("queries") match {
+      case "plans" =>
+        val tag = args(1)
+        val wanted =
+          if (args.length > 2) args.drop(2).toSet
+          else SparkEntry.queries.keySet
+        val dir = new java.io.File("plans/r06")
+        dir.mkdirs()
+        SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+          if (wanted(name)) {
+            val df = fn(spark, sfDir)
+            val txt = df.queryExecution.explainString(
+              org.apache.spark.sql.execution.FormattedMode)
+            val out = new java.io.PrintWriter(
+              new java.io.File(dir, s"${name}_$tag.txt"))
+            try out.println(txt) finally out.close()
+            println(s"[plans] wrote ${name}_$tag.txt")
+          }
+        }
+
+      case "queries" =>
+        val wanted =
+          if (args.length > 1) args.drop(1).toSet
+          else SparkEntry.queries.keySet
+        // one warm-up action for JIT/codegen, as Bench's kg leg does
+        noop(SparkEntry.queries("q06_histogram")(spark, sfDir))
+        SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+          if (wanted(name)) {
+            spark.sparkContext.setJobDescription(name)
+            val ts = (1 to 3).map(_ => time(noop(fn(spark, sfDir))))
+            println(f"[q] $name min=${ts.min}%.3f s  runs=${ts.map(t => f"$t%.3f").mkString(",")}")
+            spark.sparkContext.setJobDescription(null)
+          }
+        }
+
+      case "phases" =>
+        import spark.implicits._
+        val nPages = if (args.length > 1) args(1).toLong else 20000L
+        val cfg = graft.synth.BenchInput.cfg(nPages)
+        val inputDir = graft.synth.BenchInput.ensure(spark, nPages)
+        spark.conf.set("spark.sql.parquet.columnarReaderBatchSize", "512")
+        def leg(): Unit = {
+          def t(name: String)(body: => Unit): Unit = {
+            spark.sparkContext.setJobDescription(s"phase:$name")
+            println(f"[phase] $name ${time(body)}%.2f s")
+            spark.sparkContext.setJobDescription(null)
+          }
+          val pages = spark.read.parquet(inputDir).as[graft.model.PageRow]
+          val cacheParts = math.max(spark.sparkContext.defaultParallelism * 3,
+            spark.sessionState.conf.numShufflePartitions)
+          var extracted: org.apache.spark.sql.Dataset[graft.model.ExtractedPage] = null
+          t("extract+persist") {
+            extracted = Extract.run(pages).coalesce(cacheParts)
+              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            extracted.foreachPartition { (_: Iterator[graft.model.ExtractedPage]) => () }
+          }
+          var cands: org.apache.spark.sql.Dataset[graft.model.CandidateRow] = null
+          t("mention+persist") {
+            cands = Mention.detect(extracted, Synth.aliases(spark, cfg))
+              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            cands.foreachPartition { (_: Iterator[graft.model.CandidateRow]) => () }
+          }
+          var linked: org.apache.spark.sql.Dataset[graft.model.LinkedMention] = null
+          t("link+persist") {
+            linked = Link.resolve(cands, cfg.nPages)
+              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            linked.foreachPartition { (_: Iterator[graft.model.LinkedMention]) => () }
+          }
+          var canon: org.apache.spark.sql.Dataset[graft.model.CanonRow] = null
+          t("cc+persist") {
+            val entities = Synth.aliases(spark, cfg)
+              .map(a => java.lang.Long.valueOf(a.entity_id)).distinct()
+            canon = ConnectedComponents.canonMap(entities, Synth.sameAs(spark, cfg))
+              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            canon.foreachPartition { (_: Iterator[graft.model.CanonRow]) => () }
+          }
+          var pe: DataFrame = null
+          t("pageEntitySets+persist") {
+            pe = graft.emit.Emit.pageEntitySets(linked, canon)
+              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            pe.foreachPartition { (_: Iterator[org.apache.spark.sql.Row]) => () }
+          }
+          t("triples count") {
+            val n = graft.emit.Emit.triples(extracted, linked, canon, Some(pe)).count()
+            println(s"[phase]   triples=$n")
+          }
+          extracted.unpersist(); cands.unpersist(); linked.unpersist()
+          canon.unpersist(); pe.unpersist()
+        }
+        // warm-up leg then two measured legs (Bench protocol shape)
+        println("[phase] === warm-up leg ===")
+        leg()
+        println("[phase] === measured leg 1 ===")
+        leg()
+        println("[phase] === measured leg 2 ===")
+        leg()
+        // end-to-end, exactly as Bench times it
+        def kgOnce(): Double = time {
+          val g = Pipeline.run(
+            spark.read.parquet(inputDir).as[graft.model.PageRow],
+            Synth.aliases(spark, cfg), Synth.sameAs(spark, cfg), cfg.nPages)
+          g.triples.count()
+          g.unpersist()
+        }
+        val es = (1 to 3).map(_ => kgOnce())
+        println(f"[phase] end-to-end min=${es.min}%.2f s runs=${es.map(t => f"$t%.2f").mkString(",")}")
+
+      case "q29probe" =>
+        // where do q29's seconds go? construction (eager jobs) vs the
+        // count action, per pipeline stage, on the tiny oracle corpus
+        import spark.implicits._
+        val cfg = SparkEntry.KgOracleCfg
+        def leg(tag: String): Unit = {
+          def t(name: String)(body: => Unit): Unit = {
+            spark.sparkContext.setJobDescription(s"q29:$name")
+            println(f"[q29:$tag] $name ${time(body)}%.3f s")
+            spark.sparkContext.setJobDescription(null)
+          }
+          var g: Pipeline.Graph = null
+          t("extract.run construction") {
+            val e = graft.extract.Extract.run(Synth.pages(spark, cfg))
+            g = null; val _ = e
+          }
+          t("Pipeline.run construction") {
+            g = Pipeline.run(Synth.pages(spark, cfg), Synth.aliases(spark, cfg),
+              Synth.sameAs(spark, cfg), cfg.nPages)
+          }
+          t("triples count") { g.triples.count() }
+          t("second count (caches warm)") { g.triples.count() }
+          g.unpersist()
+        }
+        leg("warm0"); leg("a"); leg("b")
+
+      case other =>
+        System.err.println(s"unknown mode $other")
+        sys.exit(2)
+    }
+    spark.stop()
+  }
+}

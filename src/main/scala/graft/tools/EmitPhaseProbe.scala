@@ -49,8 +49,11 @@ object EmitPhaseProbe {
     // warm
     Emit.pageEntities(linked, canon).count()
 
-    val pe = t("pageEntities (salted canon join + distinct)") {
+    val pe = t("pageEntities (canon join + distinct)") {
       val p = Emit.pageEntities(linked, canon).persist(); p.count(); p
+    }
+    val peSets = t("pageEntitySets (canon join + url agg)") {
+      val p = Emit.pageEntitySets(linked, canon).persist(); p.count(); p
     }
     t("contains (hierarchy)") {
       Hierarchy.containsEdges(ex.select($"url")).count()
@@ -60,11 +63,12 @@ object EmitPhaseProbe {
         .join(ex.select($"url".as("obj")), Seq("obj"), "left_semi")
         .distinct().count()
     }
-    t("relates (capped pairs)") { Emit.relatesPairs(pe).count() }
-    t("full triples") { Emit.triples(extracted, linked, canon, Some(pe)).count() }
+    t("relates (capped pairs, from distinct rows)") { Emit.relatesPairs(pe).count() }
+    t("relates (capped pairs, from sets)") { Emit.relatesFromSets(peSets).count() }
+    t("full triples") { Emit.triples(extracted, linked, canon, Some(peSets)).count() }
     t("nodes + dropOrphans") {
       Emit.dropOrphans(Emit.nodes(extracted, canon),
-        Emit.triples(extracted, linked, canon, Some(pe))).count()
+        Emit.triples(extracted, linked, canon, Some(peSets))).count()
     }
     spark.stop()
   }

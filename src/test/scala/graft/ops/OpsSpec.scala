@@ -83,6 +83,43 @@ class OpsSpec extends SparkSpec {
     r.flatMap(p => Set(p._1, p._2)) should not contain 3L
   }
 
+  test("round-6 pair shapes ≡ the retained self-join references (sf0.001 docs + fixture)") {
+    // the grouped-pair rewrite (one exchange, signatures computed once)
+    // must be ROW-IDENTICAL to the self-join shape it replaced, on both
+    // the hand fixture and a real table slice
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).map(_.toVector).sortBy(_.toString).toVector
+    for (d <- Seq(docs, real)) {
+      rows(DedupOps.jaccardPairs(d, "doc_id", "text", 3, 0.35)) shouldBe
+        rows(DedupOps.jaccardPairsJoin(d, "doc_id", "text", 3, 0.35))
+      rows(DedupOps.jaccardPairs(d, "doc_id", "text", 3, 0.9, maxShingleDf = 2)) shouldBe
+        rows(DedupOps.jaccardPairsJoin(d, "doc_id", "text", 3, 0.9, maxShingleDf = 2))
+      rows(DedupOps.minhashCandidates(d, "doc_id", "text", 3, 4, 2)) shouldBe
+        rows(DedupOps.minhashCandidatesJoin(d, "doc_id", "text", 3, 4, 2))
+      rows(DedupOps.simhashPairs(d, "doc_id", "text", 3)) shouldBe
+        rows(DedupOps.simhashPairsJoin(d, "doc_id", "text", 3))
+    }
+    // and the rewrite actually produces pairs on the fixture
+    DedupOps.simhashPairs(docs, "doc_id", "text", 3).count() should be > 0L
+  }
+
+  test("compressedWavRms leaves ALL PCM encodings to wavRms (8-bit PCM_UNSIGNED included)") {
+    // 8-bit PCM surfaces as PCM_UNSIGNED in javax.sound; the G.711 path
+    // must return None for it (ADVICE r5 #2) instead of
+    // format-converting to 16-bit and reporting a wrong-scale RMS
+    val samples = Array(0, 255, 128, 64)
+    val bb = java.nio.ByteBuffer.allocate(44 + samples.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + samples.length)
+      .put("WAVE".getBytes("US-ASCII")).put("fmt ".getBytes("US-ASCII"))
+      .putInt(16).putShort(1).putShort(1).putInt(8000).putInt(8000)
+      .putShort(1).putShort(8)
+      .put("data".getBytes("US-ASCII")).putInt(samples.length)
+    samples.foreach(s => bb.put(s.toByte))
+    Multimodal.compressedWavRms(bb.array()) shouldBe None
+  }
+
   test("synth header payloads round-trip through the real parsers") {
     import org.apache.spark.sql.functions.col
     val expectedFormat = Seq("png", "gif", "jpeg", "riff", "mp4", "riff")

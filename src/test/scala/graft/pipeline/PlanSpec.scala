@@ -18,14 +18,21 @@ class PlanSpec extends SparkSpec {
 
   private val sf = "/root/testdata/sf0.001"
 
-  test("mention candidate join is a BroadcastHashJoin (no shuffle of the gram stream)") {
+  test("mention detection is fully map-side (broadcast trie — no join, no shuffle)") {
     val cfg = SynthConfig(nPages = 50L)
-    val cands = Mention.detect(
-      graft.extract.Extract.run(Synth.pages(spark, cfg)),
-      Synth.aliases(spark, cfg))
-    val p = plan(cands.toDF())
-    p should include("BroadcastHashJoin")
-    p should not include "SortMergeJoin"
+    val ex = spark.createDataset(Seq(graft.model.ExtractedPage(
+      "https://p/1", "p", new java.sql.Timestamp(0L), "acme corp text",
+      "en", Nil, "")))
+    // round 6: the dictionary is a broadcast TRIE probed inside the
+    // flatMap — the candidate stream is emitted map-side with no join
+    // operator and no exchange at all (the previous explode→broadcast-
+    // join shape is retained as detectJoin, asserted below)
+    val p = plan(Mention.detect(ex, Synth.aliases(spark, cfg)).toDF())
+    p should not include "Exchange"
+    p should not include "Join"
+    val pj = plan(Mention.detectJoin(ex, Synth.aliases(spark, cfg)).toDF())
+    pj should include("BroadcastHashJoin")
+    pj should not include "SortMergeJoin"
   }
 
   test("filter + projection push down to the parquet scan") {
@@ -146,17 +153,26 @@ class PlanSpec extends SparkSpec {
     } finally g.unpersist()
   }
 
-  test("link stage shuffles the candidate stream exactly once") {
+  test("link stage: codegen scorer, lazy broadcast alias-df, no object boundary") {
     import graft.model.CandidateRow
     val cands = spark.createDataset(Seq(
       CandidateRow("u1", 0, 1, "acme", 1L, 0.9),
       CandidateRow("u1", 0, 1, "acme", 2L, 0.8),
       CandidateRow("u2", 3, 1, "acme", 1L, 0.9)))
-    // the alias-df aggregate is collected+broadcast (its own tiny job);
-    // the RESOLVE plan itself must shuffle candidates once — on url —
-    // for the fused support+argmax pass (round 1 had three shuffles)
+    // round 6: the alias-df table joins in LAZILY via BroadcastExchange
+    // (no eager driver collect at plan-construction time). The
+    // CANDIDATE stream still crosses exactly one shuffle — on url, for
+    // the fused support+argmax pass; the other two hashpartitioning
+    // exchanges in the plan belong to the dictionary-sized alias-df
+    // aggregate on the broadcast side ((url, alias) distinct +
+    // per-alias count).
     val p = plan(graft.link.Link.resolve(cands, 10L).toDF())
-    "Exchange hashpartitioning".r.findAllIn(p).length shouldBe 1
+    "Exchange hashpartitioning".r.findAllIn(p).length shouldBe 3
+    p should include("BroadcastExchange")
+    // the candidate leg (everything outside the broadcast build side)
+    // holds exactly one hashpartitioning exchange: the url shuffle
+    "Exchange hashpartitioning".r
+      .findAllIn(p.split("BroadcastHashJoin").head).length shouldBe 1
   }
 
   test("no cartesian anywhere: every query and pipeline plan is NL-join-free") {
@@ -189,11 +205,19 @@ class PlanSpec extends SparkSpec {
   test("url-dedup: extracted records never cross a shuffle (key-width pass)") {
     val cfg = SynthConfig(nPages = 50L)
     // round 5: the winner keys are found in a separate narrow-key pass;
-    // the RETURNED plan is scan → broadcast-probe filter → extract, with
-    // no Exchange of extracted records at all (the old plan shuffled the
-    // full ~12 KB rows — the measured cluster scaling tail)
+    // round 6: the winner probe is a BROADCAST hash join built executor-
+    // side from the checkpointed pass-1 table (no driver HashMap). The
+    // RETURNED plan is scan → [round-robin scan-parallelism floor when
+    // the input grants fewer splits than the task target — page rows
+    // move at most once, never keyed] → broadcast winner join → filter
+    // → extract: a BroadcastExchange of the narrow winner keys is
+    // expected, but NO key-partitioned exchange — extracted records
+    // never cross a shuffle (the old plan shuffled the full ~12 KB rows
+    // by url — the measured cluster scaling tail)
     val p = plan(graft.extract.Extract.run(Synth.pages(spark, cfg)).toDF())
-    p should not include "Exchange"
+    p should not include "Exchange hashpartitioning"
+    p should not include "Exchange rangepartitioning"
+    p should include("BroadcastHashJoin")
     // the wide-shuffle fallback keeps its map-side combine: partial
     // max_by before the exchange, final after
     val pw = plan(graft.extract.Extract.runWideShuffle(Synth.pages(spark, cfg)).toDF())
