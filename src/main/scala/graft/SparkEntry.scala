@@ -109,7 +109,14 @@ object SparkEntry {
       rd(s, d, "documents")
         .select(explode(array(col("source"),
           concat(col("source"), lit("/"), col("lang")))).as("anc"), col("doc_id"))
-        .groupBy("anc").agg(countDistinct(col("doc_id")).as("n_docs"))
+        // count ≡ countDistinct here BY CONSTRUCTION: doc_id is the
+        // table key (one row per doc) and the two exploded ancs of a
+        // row always differ (the second carries a '/'), so (doc_id,
+        // anc) pairs are unique — dropping the distinct removes the
+        // two-phase distinct aggregate (one exchange, not two); the
+        // DuckDB oracle still computes count(DISTINCT doc_id)
+        // independently and hash-matches.
+        .groupBy("anc").agg(count(lit(1)).as("n_docs"))
         .orderBy("anc")),
     // ---- J4 interval containment, FIRST-match tie-break (typed cogroup) ----
     "q09_interval_first" -> ((s, d) => {
@@ -390,7 +397,12 @@ object SparkEntry {
       rd(s, d, "documents").select(doc, url.as("url"))
         .select(doc, explode(graft.emit.Hierarchy.prefixesOf(col("url")))
           .as("anc"))
-        .groupBy("anc").agg(countDistinct(col("doc_id")).as("n_docs"))
+        // count ≡ countDistinct BY CONSTRUCTION: doc_id is the table
+        // key and a url's ancestor prefixes are pairwise distinct
+        // (strictly increasing lengths), so (doc_id, anc) pairs are
+        // unique — one aggregate exchange instead of the two-phase
+        // distinct; the oracle still computes count(DISTINCT doc_id).
+        .groupBy("anc").agg(count(lit(1)).as("n_docs"))
         .orderBy("anc")
     }))
 

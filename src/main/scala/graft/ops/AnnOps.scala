@@ -209,6 +209,31 @@ object AnnOps {
   def cosinePairs(
       df: DataFrame, idCol: String, embCol: String,
       tau: Double, seed: Long = 42L, nPlanes: Int = 6, dim: Int = 64): DataFrame = {
+    // round 6: pairs per bucket from ONE exchange of the bucketed
+    // stream — the replaced self-join (retained below as
+    // [[cosinePairsJoin]], spec-pinned row-identical) computed every
+    // SRP signature (nPlanes VecDots/row) twice and exchanged the
+    // stream twice. A vector lives in exactly one bucket, so the pair
+    // set needs no distinct in either shape; per-bucket fan-out is
+    // C(k,2) in one task in both.
+    val b = df.select(col(idCol).as("id"), col(embCol).as("emb"),
+      srpBucket(col(embCol), seed, nPlanes, dim).as("bucket"))
+    val p = b.groupBy(col("bucket"))
+      .agg(sort_array(collect_list(struct(col("id"), col("emb")))).as("xs"))
+      .select(explode(graft.emit.Emit.pairsHof(col("xs"))).as("p"))
+    val (ea, eb) = (col("p.x.emb"), col("p.y.emb"))
+    p.withColumn("cos",
+        vec_dot(ea, eb) / (sqrt(vec_dot(ea, ea)) * sqrt(vec_dot(eb, eb))))
+      .filter(col("cos") >= tau)
+      .select(col("p.x.id").as("id_a"), col("p.y.id").as("id_b"),
+        round(col("cos"), 6).as("cos"))
+  }
+
+  /** The pre-round-6 bucket SELF-JOIN shape — agreement reference for
+    * [[cosinePairs]]. */
+  private[graft] def cosinePairsJoin(
+      df: DataFrame, idCol: String, embCol: String,
+      tau: Double, seed: Long = 42L, nPlanes: Int = 6, dim: Int = 64): DataFrame = {
     val b = df.select(col(idCol).as("id"), col(embCol).as("emb"),
       srpBucket(col(embCol), seed, nPlanes, dim).as("bucket"))
     val dot = vec_dot(col("a.emb"), col("b.emb"))

@@ -102,6 +102,11 @@ class OpsSpec extends SparkSpec {
     }
     // and the rewrite actually produces pairs on the fixture
     DedupOps.simhashPairs(docs, "doc_id", "text", 3).count() should be > 0L
+    // cosinePairs: grouped-pair shape ≡ the bucket self-join reference
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    rows(AnnOps.cosinePairs(emb, "vec_id", "embedding", 0.2)) shouldBe
+      rows(AnnOps.cosinePairsJoin(emb, "vec_id", "embedding", 0.2))
+    AnnOps.cosinePairs(emb, "vec_id", "embedding", 0.2).count() should be > 0L
   }
 
   test("compressedWavRms leaves ALL PCM encodings to wavRms (8-bit PCM_UNSIGNED included)") {
