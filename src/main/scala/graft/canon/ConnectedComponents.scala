@@ -21,9 +21,17 @@ import org.apache.spark.sql.functions._
   */
 object ConnectedComponents {
 
-  /** large-star: connect every neighbor v > u to min({u} ∪ N(u)). */
+  /** large-star: connect every neighbor v > u to min({u} ∪ N(u)).
+    *
+    * The explicit repartition on u (round 6, guide §2.4) gives the
+    * min-aggregate AND the join the same single exchange: both
+    * consumers' required distribution is satisfied by it, and
+    * ReuseExchange executes the nbrs subtree once — the previous shape
+    * planned two separate exchanges of the same stream (agg side, join
+    * side), each re-evaluating the union. */
   private def largeStar(e: DataFrame): DataFrame = {
     val nbrs = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      .repartition(col("u"))
     val mins = nbrs.groupBy("u").agg(min("v").as("mv"))
       .select(col("u"), least(col("u"), col("mv")).as("m"))
     nbrs.filter(col("v") > col("u"))
@@ -33,11 +41,13 @@ object ConnectedComponents {
       .distinct()
   }
 
-  /** small-star: point all smaller-or-equal neighbors (and u) to the min. */
+  /** small-star: point all smaller-or-equal neighbors (and u) to the min.
+    * Same one-exchange repartition-reuse shape as [[largeStar]]. */
   private def smallStar(e: DataFrame): DataFrame = {
     val nbrs = e.select(
       greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
       .filter(col("u") =!= col("v"))
+      .repartition(col("u"))
     val mins = nbrs.groupBy("u").agg(min("v").as("m"))
     nbrs.join(mins, "u")
       .select(col("v").as("u"), col("m").as("v"))

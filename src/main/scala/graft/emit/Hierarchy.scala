@@ -73,14 +73,37 @@ object Hierarchy {
   }
 
   /** Distinct (subj, obj) contains edges of the full chain: root → host,
-    * consecutive prefixes, deepest prefix → page. */
+    * consecutive prefixes, deepest prefix → page.
+    *
+    * Single-exchange shape (round 6, guide §2.4): ONE pass over `urls`
+    * builds each url's whole edge chain (root→host, consecutive
+    * prefixes, deepest prefix→page) as an array, explodes it, and runs
+    * ONE distinct — the previous shape scanned `urls` twice (chain via
+    * [[internalNodes]], page edges separately) and paid two distinct
+    * exchanges. Distinct-across-the-union ≡ union-of-distincts here:
+    * chain edges' objs are scheme-stripped prefixes while a page edge's
+    * obj is the raw url, and the q29 oracle itself computes the
+    * cross-leg DISTINCT (a collision would already have failed the
+    * row-count compare). */
   def containsEdges(urls: DataFrame): DataFrame = {
-    val chain = internalNodes(urls)
-      .filter(col("parent").isNotNull)
-      .select(col("parent").as("subj"), col("node").as("obj"))
-    val pageEdges = urls
-      .select(parentOf(col("url")).as("subj"), col("url").as("obj"))
+    // ps is projected into its own column first so the native
+    // path_prefixes scan runs once per row — referenced from inside the
+    // transform lambda it would re-evaluate per element
+    val ps = col("ps")
+    val chain = when(size(ps) <= 1,
+      array().cast("array<struct<subj:string,obj:string>>"))
+      .otherwise(transform(sequence(lit(1), size(ps) - 1),
+        k => struct(element_at(ps, k).as("subj"),
+          element_at(ps, k + 1).as("obj"))))
+    val edges = concat(
+      array(struct(lit(Emit.RootId).as("subj"),
+        element_at(ps, 1).as("obj"))),
+      chain,
+      array(struct(element_at(ps, -1).as("subj"), col("url").as("obj"))))
+    urls
+      .select(prefixesOf(col("url")).as("ps"), col("url"))
+      .select(explode(edges).as("e"))
+      .select(col("e.subj"), col("e.obj"))
       .distinct()
-    chain.union(pageEdges)
   }
 }

@@ -172,37 +172,40 @@ object Extract {
 
     val keep = winners.filter($"c" === 1L && $"warc_ts".isNotNull)
       .select($"url", $"warc_ts".as("__win_ts"))
-    // Scan-parallelism floor for the EXTRACTION side (guide §2.5/§6):
-    // parquet bin-packing folds a small-file input into far fewer
-    // splits than cores (the 20k bench table packs 256 × 0.5 MB files
-    // into ~10 splits — extraction ran ~10-wide on 32 cores, the rest
-    // of the fleet idle). When the scan grants fewer partitions than
-    // the session's task target, round-robin the page rows up to it —
-    // they move ONCE, before the only pass that reads them whole. Pass
-    // 1 stays on the raw scan (html stays pruned out of it), and at
-    // cluster scale a real corpus has orders of magnitude more splits
-    // than cores, so this branch never fires there.
-    val taskTarget = math.max(spark.sparkContext.defaultParallelism * 3,
-      spark.sessionState.conf.numShufflePartitions)
-    val scanParts = pages.rdd.getNumPartitions
-    val pagesWide =
-      if (scanParts < taskTarget) pages.repartition(taskTarget) else pages
     // left join: uncontested urls get a null __win_ts and pass; loser
     // rows (warc_ts ≠ winning ts, including null warc_ts under a
     // non-null winner) fail the filter and are never extracted
-    val probed = pagesWide.toDF()
+    val probed = pages.toDF()
       .join(broadcast(keep), Seq("url"), "left")
       .filter($"__win_ts".isNull || $"warc_ts" === $"__win_ts")
       .drop("__win_ts").as[PageRow]
-    if (esc.isEmpty) probed.map(p => extractOne(p, extractor))
-    else { // winner-key ties (need the html-hash leg of the frozen key):
-           // only THEIR rows take the legacy wide plan
-      val escB = spark.sparkContext.broadcast(esc.toSet)
-      probed.filter(p => !escB.value.contains(p.url))
-        .map(p => extractOne(p, extractor))
-        .union(
-          runWideShuffle(pages.filter(p => escB.value.contains(p.url)), extractor))
-    }
+    val out =
+      if (esc.isEmpty) probed.map(p => extractOne(p, extractor))
+      else { // winner-key ties (need the html-hash leg of the frozen key):
+             // only THEIR rows take the legacy wide plan
+        val escB = spark.sparkContext.broadcast(esc.toSet)
+        probed.filter(p => !escB.value.contains(p.url))
+          .map(p => extractOne(p, extractor))
+          .union(
+            runWideShuffle(pages.filter(p => escB.value.contains(p.url)), extractor))
+      }
+    // Parallelism floor for the DOWNSTREAM consumers (guide §2.5/§6 +
+    // §8 "move the heavy bytes once, decide on light rows"): parquet
+    // bin-packing folds a small-file input into far fewer splits than
+    // cores (the 20k bench table packs 256 × ~0.5 MB files into ~10
+    // splits), and the pipeline's extracted cache inherits that width —
+    // every downstream stage then runs ~10-wide on 32 cores. When the
+    // scan grants fewer partitions than the session's task target,
+    // round-robin the EXTRACTED rows up to it: they are ~4× narrower
+    // than the html they came from (round-6 measurement: repartitioning
+    // the html side cost 1.3 s of the 2.4 s extract stage at 20k;
+    // extraction itself runs the same total work at scan width, 0.6 s
+    // either way). At cluster scale a real corpus has orders of
+    // magnitude more splits than cores, so this branch never fires.
+    val taskTarget = math.max(spark.sparkContext.defaultParallelism * 3,
+      spark.sessionState.conf.numShufflePartitions)
+    if (pages.rdd.getNumPartitions < taskTarget) out.repartition(taskTarget)
+    else out
   }
 
   /** Pass 1 of [[run]]: per-url (winning warc_ts, its multiplicity) for
@@ -214,8 +217,18 @@ object Extract {
   private[graft] def contestedUrls(pages: Dataset[PageRow]) = {
     val spark = pages.sparkSession
     import spark.implicits._
+    // ONE exchange (round 6, guide §2.4): hash-partitioning by url
+    // satisfies BOTH aggregates' distributions (url is a subset of
+    // (url, warc_ts)), so the explicit repartition replaces the two
+    // back-to-back aggregate exchanges the previous shape planned. The
+    // trade: raw (url, warc_ts) pairs cross the wire instead of
+    // map-side-combined (url, warc_ts, partial-count) rows — at a
+    // crawl's ~2% dup rate the combine collapsed almost nothing, so one
+    // full-width narrow shuffle beats two ~full-width ones. Aggregate
+    // expressions (and null/max_by semantics) unchanged.
     pages.toDF()
       .select($"url", $"warc_ts")
+      .repartition($"url")
       .groupBy($"url", $"warc_ts").agg(count(lit(1)).as("c"))
       .groupBy($"url")
       .agg(sum($"c").as("n"),

@@ -220,7 +220,7 @@ object AnnOps {
       srpBucket(col(embCol), seed, nPlanes, dim).as("bucket"))
     val p = b.groupBy(col("bucket"))
       .agg(sort_array(collect_list(struct(col("id"), col("emb")))).as("xs"))
-      .select(explode(graft.emit.Emit.pairsHof(col("xs"))).as("p"))
+      .select(explode(graft.functions.ArrayPairs.array_pairs(col("xs"))).as("p"))
     val (ea, eb) = (col("p.x.emb"), col("p.y.emb"))
     p.withColumn("cos",
         vec_dot(ea, eb) / (sqrt(vec_dot(ea, ea)) * sqrt(vec_dot(eb, eb))))

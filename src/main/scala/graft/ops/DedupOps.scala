@@ -69,27 +69,55 @@ object DedupOps {
   def jaccardPairs(
       df: DataFrame, idCol: String, textCol: String,
       n: Int, tau: Double, maxShingleDf: Int = Int.MaxValue): DataFrame = {
-    val sh = df.select(col(idCol).as("id"),
-      explode(shingles(TextOps.tokens(col(textCol)), n)).as("s"))
-    val filtered =
-      if (maxShingleDf == Int.MaxValue) sh
-      else {
-        val hot = sh.groupBy("s").count().filter(col("count") > maxShingleDf)
-        sh.join(hot, Seq("s"), "left_anti")
-      }
-    val sizes = filtered.groupBy("id").agg(count(lit(1)).as("n_sh"))
-    val pairs = coPairs(filtered, Seq("s"), "id")
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(count(lit(1)).as("common"))
-    pairs
-      .join(sizes.select(col("id").as("id_a"), col("n_sh").as("n_a")), "id_a")
-      .join(sizes.select(col("id").as("id_b"), col("n_sh").as("n_b")), "id_b")
-      .withColumn("jaccard",
-        col("common").cast("double") /
-          (col("n_a") + col("n_b") - col("common")).cast("double"))
-      .filter(col("jaccard") >= tau)
-      .select(col("id_a"), col("id_b"), col("common"), col("n_a"), col("n_b"),
-        round(col("jaccard"), 6).as("jaccard"))
+    if (maxShingleDf == Int.MaxValue) {
+      // Single-pass shape (round 6, guide §2.3/§2.4): the per-doc
+      // shingle count rides the exploded stream as a payload column —
+      // n_sh = size(sh) ≡ the post-explode per-id row count, because
+      // the shingle array is distinct by construction — so the shingle
+      // subtree is computed ONCE and the two size joins (which re-ran
+      // the whole tokenize+shingle pass a second time: Spark does not
+      // CSE across join branches) disappear. Pairs carry (id, n_sh)
+      // structs through the same one-exchange grouped generation; n_a
+      // is constant within an id_a group, so max() just reads it back.
+      val sh = df.select(col(idCol).as("id"),
+          shingles(TextOps.tokens(col(textCol)), n).as("sh"))
+        .select(col("id"), size(col("sh")).cast("long").as("n_sh"),
+          explode(col("sh")).as("s"))
+      sh.groupBy(col("s"))
+        .agg(sort_array(collect_list(struct(col("id"), col("n_sh"))))
+          .as("xs"))
+        .select(explode(graft.functions.ArrayPairs.array_pairs(col("xs")))
+          .as("p"))
+        .groupBy(col("p.x.id").as("id_a"), col("p.y.id").as("id_b"))
+        .agg(count(lit(1)).as("common"),
+          max(col("p.x.n_sh")).as("n_a"), max(col("p.y.n_sh")).as("n_b"))
+        .withColumn("jaccard",
+          col("common").cast("double") /
+            (col("n_a") + col("n_b") - col("common")).cast("double"))
+        .filter(col("jaccard") >= tau)
+        .select(col("id_a"), col("id_b"), col("common"), col("n_a"),
+          col("n_b"), round(col("jaccard"), 6).as("jaccard"))
+    } else {
+      // Stop-shingle path: sizes must be the POST-FILTER counts, which
+      // only exist after the anti join — keep the explicit size joins.
+      val sh = df.select(col(idCol).as("id"),
+        explode(shingles(TextOps.tokens(col(textCol)), n)).as("s"))
+      val hot = sh.groupBy("s").count().filter(col("count") > maxShingleDf)
+      val filtered = sh.join(hot, Seq("s"), "left_anti")
+      val sizes = filtered.groupBy("id").agg(count(lit(1)).as("n_sh"))
+      val pairs = coPairs(filtered, Seq("s"), "id")
+        .groupBy(col("id_a"), col("id_b"))
+        .agg(count(lit(1)).as("common"))
+      pairs
+        .join(sizes.select(col("id").as("id_a"), col("n_sh").as("n_a")), "id_a")
+        .join(sizes.select(col("id").as("id_b"), col("n_sh").as("n_b")), "id_b")
+        .withColumn("jaccard",
+          col("common").cast("double") /
+            (col("n_a") + col("n_b") - col("common")).cast("double"))
+        .filter(col("jaccard") >= tau)
+        .select(col("id_a"), col("id_b"), col("common"), col("n_a"), col("n_b"),
+          round(col("jaccard"), 6).as("jaccard"))
+    }
   }
 
   /** The pre-round-6 shingle SELF-JOIN pair shape — agreement reference
@@ -277,15 +305,15 @@ object DedupOps {
     * (id, sig) struct array — the SimHash64 projection runs ONCE; the
     * replaced self-join (retained as [[simhashPairsJoin]]) computed
     * every signature twice and exchanged the chunk stream twice. The
-    * struct pairs come from the generic HOF shape (Emit.pairsHof);
-    * chunk groups are banding-bounded so the interpreted lambda is off
-    * any hot loop. */
+    * struct pairs come from the native generic ArrayPairs (guide §4 —
+    * the interpreted pairsHof lambda tree it replaces stays the
+    * agreement reference in the fuzz spec). */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String, maxHamming: Int = 3): DataFrame = {
     require(maxHamming <= 3, "4-band pigeonhole only covers radius 3")
     simhashChunks(df, idCol, textCol)
       .groupBy(col("chunk_idx"), col("chunk"))
       .agg(sort_array(collect_list(struct(col("id"), col("sig")))).as("xs"))
-      .select(explode(graft.emit.Emit.pairsHof(col("xs"))).as("p"))
+      .select(explode(graft.functions.ArrayPairs.array_pairs(col("xs"))).as("p"))
       .select(col("p.x.id").as("id_a"), col("p.y.id").as("id_b"),
         col("p.x.sig").as("sig_a"), col("p.y.sig").as("sig_b"))
       .distinct()

@@ -179,6 +179,43 @@ object BenchExtra {
         }
         leg("warm0"); leg("a"); leg("b")
 
+      case "linkprobe" =>
+        // where does the link stage's wall go? alias-df aggregation vs
+        // the url-shuffle + typed scorer, on the bench corpus
+        import spark.implicits._
+        val nPages = if (args.length > 1) args(1).toLong else 20000L
+        val cfg = graft.synth.BenchInput.cfg(nPages)
+        val inputDir = graft.synth.BenchInput.ensure(spark, nPages)
+        spark.conf.set("spark.sql.parquet.columnarReaderBatchSize", "512")
+        val pages = spark.read.parquet(inputDir).as[graft.model.PageRow]
+        val extracted = Extract.run(pages)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        extracted.count()
+        val cands = Mention.detect(extracted, Synth.aliases(spark, cfg))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        cands.count()
+        def leg(tag: String): Unit = {
+          def t(name: String)(body: => Unit): Unit = {
+            spark.sparkContext.setJobDescription(s"link:$name")
+            println(f"[link:$tag] $name ${time(body)}%.3f s")
+            spark.sparkContext.setJobDescription(null)
+          }
+          var m: Map[String, Long] = null
+          t("aliasDf agg + collect") {
+            m = Link.collectAliasDf(Link.aliasDf(cands.toDF()))
+          }
+          t("resolve w/ precomputed map (shuffle + scorer only)") {
+            noop(Link.resolve(cands, cfg.nPages, Some(m)).toDF())
+          }
+          t("resolve full (lazy broadcast df)") {
+            noop(Link.resolve(cands, cfg.nPages).toDF())
+          }
+          t("resolveTyped reference") {
+            noop(Link.resolveTyped(cands, cfg.nPages).toDF())
+          }
+        }
+        leg("warm"); leg("a"); leg("b")
+
       case other =>
         System.err.println(s"unknown mode $other")
         sys.exit(2)

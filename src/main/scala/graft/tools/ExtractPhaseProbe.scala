@@ -50,6 +50,23 @@ object ExtractPhaseProbe {
     t("Extract.run (map + dedup shuffle)") {
       Extract.run(pages()).count()
     }
+    t("pass1 alone (contestedUrls agg + checkpoint)") {
+      import org.apache.spark.sql.functions._
+      Extract.contestedUrls(pages()).localCheckpoint(false)
+        .agg(count(lit(1)), count_if(col("c") > 1L)).head()
+    }
+    t("pass2 shape, no floor repartition (probe + extract at scan width)") {
+      import org.apache.spark.sql.functions._
+      val w = Extract.contestedUrls(pages()).localCheckpoint(false)
+      w.agg(count(lit(1))).head()
+      val keep = w.filter(col("c") === 1L && col("warc_ts").isNotNull)
+        .select(col("url"), col("warc_ts").as("__win_ts"))
+      pages().toDF()
+        .join(broadcast(keep), Seq("url"), "left")
+        .filter(col("__win_ts").isNull || col("warc_ts") === col("__win_ts"))
+        .drop("__win_ts").as[graft.model.PageRow]
+        .map(p => Extract.extractOne(p)).count()
+    }
     spark.stop()
   }
 }

@@ -131,4 +131,36 @@ class NativeAgreementFuzzSpec extends SparkSpec {
         r.getSeq[org.apache.spark.sql.Row](2), s"id=${r.getLong(0)}")
     }
   }
+
+  test("generic ArrayPairs (struct elements) on 100 fuzz arrays") {
+    // the round-6 grouped-pair streams: struct(long, long) — simhash
+    // chunks / jaccard (id, n_sh) — and struct(string, array<float>) —
+    // SRP-bucket (id, emb); both must agree with the interpreted
+    // pairsHof reference element-for-element
+    val ll = (0 until 100).map { i =>
+      val n = (Det.mix64(i * 19L) & 0xF).toInt
+      (i.toLong, Array.tabulate(n)(k =>
+        (Det.mix64(i * 83L + k) % 50L, Det.mix64(i * 131L + k))))
+    }.toDF("id", "es")
+    ll.select(col("id"),
+        ArrayPairs.array_pairs(col("es")).as("n"),
+        Emit.pairsHof(col("es")).as("r"))
+      .collect().foreach { r =>
+        assert(r.getSeq[org.apache.spark.sql.Row](1) ==
+          r.getSeq[org.apache.spark.sql.Row](2), s"ll id=${r.getLong(0)}")
+      }
+    val se = (0 until 100).map { i =>
+      val n = (Det.mix64(i * 23L) & 0x7).toInt
+      (i.toLong, Array.tabulate(n)(k =>
+        (s"id-${Det.mix64(i * 7L + k) % 30L}",
+          Array.tabulate(4)(d => (Det.mix64(i + k * 13L + d) % 100L).toFloat))))
+    }.toDF("id", "es")
+    se.select(col("id"),
+        ArrayPairs.array_pairs(col("es")).as("n"),
+        Emit.pairsHof(col("es")).as("r"))
+      .collect().foreach { r =>
+        assert(r.getSeq[org.apache.spark.sql.Row](1) ==
+          r.getSeq[org.apache.spark.sql.Row](2), s"se id=${r.getLong(0)}")
+      }
+  }
 }

@@ -207,13 +207,14 @@ class PlanSpec extends SparkSpec {
     // round 5: the winner keys are found in a separate narrow-key pass;
     // round 6: the winner probe is a BROADCAST hash join built executor-
     // side from the checkpointed pass-1 table (no driver HashMap). The
-    // RETURNED plan is scan → [round-robin scan-parallelism floor when
-    // the input grants fewer splits than the task target — page rows
-    // move at most once, never keyed] → broadcast winner join → filter
-    // → extract: a BroadcastExchange of the narrow winner keys is
-    // expected, but NO key-partitioned exchange — extracted records
-    // never cross a shuffle (the old plan shuffled the full ~12 KB rows
-    // by url — the measured cluster scaling tail)
+    // RETURNED plan is scan → broadcast winner join → filter → extract
+    // → [round-robin parallelism floor on the EXTRACTED rows, ~4×
+    // narrower than the html, only when the input grants fewer splits
+    // than the task target — never at cluster scale, never keyed]: a
+    // BroadcastExchange of the narrow winner keys is expected, but NO
+    // key-partitioned exchange — records never cross a KEY shuffle
+    // (the old plan shuffled the full ~12 KB rows by url — the
+    // measured cluster scaling tail)
     val p = plan(graft.extract.Extract.run(Synth.pages(spark, cfg)).toDF())
     p should not include "Exchange hashpartitioning"
     p should not include "Exchange rangepartitioning"
