@@ -22,13 +22,16 @@ import org.apache.spark.sql.functions._
   * (score, entity_id) tie implies value-identical rows — both
   * implementations below are deterministic.
   *
-  * Execution shape (round 6 — one shuffle of the candidate stream,
-  * zero eager driver round-trips): the dictionary-sized alias-df table
-  * joins onto the candidate stream as a LAZY broadcast hash join
-  * (previously a synchronous driver collect chain ran at
-  * plan-CONSTRUCTION time, serializing against the rest of the
-  * pipeline DAG — VERDICT r5 #1a); support and the per-mention argmax
-  * stay url-local in a single groupByKey(url) pass. (A fully-SQL
+  * Execution shape (round 6 — ONE exchange of the candidate stream,
+  * zero eager driver round-trips): the stream is hash-repartitioned by
+  * url once; the alias-df aggregate computes its (url, alias) distinct
+  * partition-LOCALLY over that layout (only dictionary-sized partials
+  * cross a second, tiny exchange) and joins back onto the same
+  * repartitioned stream as a LAZY broadcast hash join (previously a
+  * synchronous driver collect chain ran at plan-CONSTRUCTION time,
+  * serializing against the rest of the pipeline DAG — VERDICT r5 #1a);
+  * support and the per-mention argmax stream url groups over a
+  * within-partition sort — no groupByKey re-shuffle. (A fully-SQL
   * window+min_by scorer was measured and REJECTED this round: the
   * support window's sort cost more than the typed object boundary —
   * 2.4–2.5 s vs 1.9–2.0 s at 20k/local[32].) The round-5 eager
@@ -89,21 +92,83 @@ object Link {
                 "unchanged snapshot id)")), n)
         }
       case None =>
-        // candidates ⋈ broadcast(alias-df): built executor-side inside
-        // the same action as the link shuffle — its aggregation
-        // overlaps with the rest of the job's DAG; coverage is total by
-        // construction, so inner join cannot drop rows
-        val withDf = cands.toDF()
-          .join(broadcast(aliasDf(cands.toDF())), Seq("alias"), "inner")
+        // ONE exchange of the candidate stream (round 6, guide §2.4
+        // "two operations keyed the same way share one exchange"): an
+        // explicit hash repartition on url feeds BOTH consumers, and
+        // ReuseExchange/AQE materializes the shuffle once.
+        //  1. alias-df: with whole urls partition-local, the
+        //     (url, alias) distinct streams over a within-partition
+        //     sort — per-url alias set (page-bounded), per-partition
+        //     partial counts (dictionary-bounded, the J2 broadcast
+        //     contract) — so only (alias, partial_df) rows cross a
+        //     second, tiny exchange. The previous shape exchanged the
+        //     FULL-WIDTH distinct pairs and hash-aggregated them.
+        //  2. scoring: the same partitions, sorted by url above the
+        //     broadcast join, stream page groups straight into the
+        //     frozen argmax — no groupByKey re-shuffle (the typed
+        //     lambda key made the planner blind to the url partitioning
+        //     already in place, so the old shape exchanged the stream a
+        //     THIRD time).
+        // Both sorts sit directly under an object operator, where
+        // EliminateSorts cannot strip them (PlanSpec pins this: the
+        // grouping correctness of the streaming passes depends on it).
+        // Coverage of the inner join is total by construction (df is
+        // derived from the same stream), so it cannot drop rows.
+        val byUrl = cands.repartition(col("url"))
+        val dfTable = byUrl.sortWithinPartitions(col("url"))
+          .mapPartitions { it =>
+            val counts = new java.util.HashMap[String, Long]()
+            val cur = new java.util.HashSet[String]()
+            var curUrl: String = null
+            def flush(): Unit = {
+              val as = cur.iterator()
+              while (as.hasNext) {
+                val a = as.next()
+                val prev = counts.get(a)
+                counts.put(a, (if (prev == null) 0L else prev.longValue()) + 1L)
+              }
+              cur.clear()
+            }
+            it.foreach { c =>
+              if (c.url != curUrl) { if (curUrl != null) flush(); curUrl = c.url }
+              cur.add(c.alias); ()
+            }
+            if (curUrl != null) flush()
+            val out = new scala.collection.mutable.ArrayBuffer[(String, Long)](counts.size())
+            val es = counts.entrySet().iterator()
+            while (es.hasNext) {
+              val e = es.next(); out += ((e.getKey, e.getValue.longValue()))
+            }
+            out.iterator
+          }.toDF("alias", "df_part")
+          .groupBy(col("alias")).agg(sum(col("df_part")).as("alias_df"))
+        val withDf = byUrl.toDF()
+          .join(broadcast(dfTable), Seq("alias"), "inner")
           .select(col("url"), col("tok_start"), col("tok_len"),
             col("alias"), col("entity_id"), col("prior"), col("alias_df"))
+          .sortWithinPartitions(col("url"))
           .as[(String, Int, Int, String, Long, Double, Long)]
-        withDf.groupByKey(_._1).flatMapGroups { (url, it) =>
-          val pairs = it.toArray
-          val dfOf = new scala.collection.mutable.HashMap[String, Long]()
-          pairs.foreach(p => dfOf.update(p._4, p._7))
-          val rows = pairs.map(p => CandidateRow(p._1, p._2, p._3, p._4, p._5, p._6))
-          argmaxPerPage(url, rows, c => dfOf(c.alias), n)
+        withDf.mapPartitions { it =>
+          val base = it.buffered
+          new Iterator[LinkedMention] {
+            private var out: Iterator[LinkedMention] = Iterator.empty
+            private def advance(): Unit = {
+              while (!out.hasNext && base.hasNext) {
+                val url = base.head._1
+                val buf = new scala.collection.mutable.ArrayBuffer[
+                  (String, Int, Int, String, Long, Double, Long)]
+                while (base.hasNext && base.head._1 == url) buf += base.next()
+                val dfOf = new scala.collection.mutable.HashMap[String, Long]()
+                buf.foreach(p => dfOf.update(p._4, p._7))
+                val rows = buf.iterator
+                  .map(p => CandidateRow(p._1, p._2, p._3, p._4, p._5, p._6))
+                  .toArray
+                out = argmaxPerPage(url, rows, c => dfOf(c.alias), n)
+              }
+            }
+            def hasNext: Boolean = { advance(); out.hasNext }
+            def next(): LinkedMention = { advance(); out.next() }
+          }
         }
     }
   }

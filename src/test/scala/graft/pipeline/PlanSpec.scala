@@ -160,19 +160,35 @@ class PlanSpec extends SparkSpec {
       CandidateRow("u1", 0, 1, "acme", 2L, 0.8),
       CandidateRow("u2", 3, 1, "acme", 1L, 0.9)))
     // round 6: the alias-df table joins in LAZILY via BroadcastExchange
-    // (no eager driver collect at plan-construction time). The
-    // CANDIDATE stream still crosses exactly one shuffle — on url, for
-    // the fused support+argmax pass; the other two hashpartitioning
-    // exchanges in the plan belong to the dictionary-sized alias-df
-    // aggregate on the broadcast side ((url, alias) distinct +
-    // per-alias count).
-    val p = plan(graft.link.Link.resolve(cands, 10L).toDF())
-    "Exchange hashpartitioning".r.findAllIn(p).length shouldBe 3
+    // (no eager driver collect at plan-construction time), and the
+    // candidate stream crosses exactly ONE shuffle — the explicit url
+    // repartition — which BOTH consumers share: the streaming alias-df
+    // aggregate re-reads it (ReusedExchange at runtime) and ships only
+    // dictionary-sized (alias, partial_df) rows across the one other
+    // hashpartitioning exchange; the scoring side streams url groups
+    // over a within-partition sort with no groupByKey re-shuffle.
+    val rdf = graft.link.Link.resolve(cands, 10L).toDF()
+    val p = plan(rdf)
+    // initial (pre-runtime-dedup) plan: the url exchange subtree prints
+    // on both consumers (2×) + the tiny alias partial-agg exchange
+    "Exchange hashpartitioning\\(url".r.findAllIn(p).length shouldBe 2
+    "Exchange hashpartitioning\\(alias".r.findAllIn(p).length shouldBe 1
     p should include("BroadcastExchange")
-    // the candidate leg (everything outside the broadcast build side)
-    // holds exactly one hashpartitioning exchange: the url shuffle
-    "Exchange hashpartitioning".r
-      .findAllIn(p.split("BroadcastHashJoin").head).length shouldBe 1
+    // BOTH streaming passes (alias-df distinct, argmax grouping) are
+    // only correct over url-adjacent rows: their Sort must sit directly
+    // under the object boundary, where EliminateSorts cannot strip it
+    "Sort \\[url#\\d+ ASC NULLS FIRST\\], false".r
+      .findAllIn(p).length shouldBe 2
+    // and at runtime the two url-exchange subtrees dedup to ONE shuffle
+    // (same QueryExecution object: its adaptive plan mutates in place;
+    // collect() — not count(), which plans its own execution — drives it)
+    rdf.collect()
+    val fin = plan(rdf)
+    // the executed plan prints Final + Initial sections; in the final
+    // section one url-shuffle materializes (ShuffleQueryStage) and the
+    // broadcast side reads it back as a ReusedExchange
+    fin should include("ReusedExchange")
+    "ReusedExchange.*url".r.findAllIn(fin).length should be >= 1
   }
 
   test("no cartesian anywhere: every query and pipeline plan is NL-join-free") {
