@@ -13,11 +13,15 @@ import org.apache.spark.sql.streaming.Trigger
   *
   * mode = fmgws (default): flatMapGroupsWithState, event-time TTL
   * eviction, AvailableNow drain (event-time timeouts quiesce).
-  * mode = tws: the same gate on transformWithState — engine-managed
-  * PROCESSING-time TTL. Processing-time timers never quiesce, so the
-  * drain is an interval trigger plus a listener that counts source rows
-  * until every landed row has been processed (the documented Spark 4.1
-  * caveat; see StreamingIngest.nearDupGateTws scaladoc).
+  * mode = tws: the same gate on transformWithState with EVENT-time
+  * timers (round 6) — drains with AvailableNow like fmgws; the state
+  * row of this bench is the bounded-live-state evidence (signatures
+  * whose watermark passed last-seen + ttl are evicted mid-run).
+  * mode = twsproc: the retained processing-time-TTL shape.
+  * Processing-time timers never quiesce, so its drain is an interval
+  * trigger plus a listener that counts source rows until every landed
+  * row has been processed (the documented Spark 4.1 caveat; see
+  * StreamingIngest.nearDupGateTwsProcTime scaladoc).
   *
   * Drops overlap by 10%: each re-lands the tail of the previous drop,
   * so the gate has real suppression work (same text → same signature →
@@ -37,7 +41,8 @@ object StreamGateBench {
     val cpus = if (args.length > 2) args(2) else
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val mode = if (args.length > 3) args(3) else "fmgws"
-    require(mode == "fmgws" || mode == "tws", s"unknown mode $mode")
+    require(mode == "fmgws" || mode == "tws" || mode == "twsproc",
+      s"unknown mode $mode")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-stream-gate-bench")
@@ -52,7 +57,7 @@ object StreamGateBench {
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
 
-    if (mode == "tws") // changelog checkpointing: no snapshot-zip storm
+    if (mode.startsWith("tws")) // changelog ckpt: no snapshot-zip storm
       spark.conf.set(
         "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
         "true")
@@ -89,6 +94,9 @@ object StreamGateBench {
       if (mode == "tws")
         StreamingIngest.nearDupGateTws(extracted,
           ttl = java.time.Duration.ofHours(1))
+      else if (mode == "twsproc") // retained processing-time-TTL shape
+        StreamingIngest.nearDupGateTwsProcTime(extracted,
+          ttl = java.time.Duration.ofHours(1))
       else StreamingIngest.nearDupGate(extracted)
 
     // tws drain: processing-time timers never quiesce, so count source
@@ -113,12 +121,12 @@ object StreamGateBench {
       }
       .option("checkpointLocation", ckptDir)
     val q =
-      if (mode == "tws")
+      if (mode == "twsproc")
         writer.trigger(Trigger.ProcessingTime("250 milliseconds")).start()
       else
         writer.trigger(Trigger.AvailableNow()).start() // event-time: quiesces
     val wall =
-      if (mode == "tws") {
+      if (mode == "twsproc") {
         val deadline = t0 + 3600L * 1000 * 1000 * 1000
         while (processed.get() < landed && System.nanoTime() < deadline)
           Thread.sleep(100)

@@ -248,10 +248,9 @@ class StreamingSpec extends SparkSpec {
       val out = StreamingIngest.nearDupGateTws(mem.toDS(), n = 3, k = 8,
         ttl = java.time.Duration.ofHours(2))
       val ckpt = Files.createTempDirectory("graft-tws-ckpt").toString
-      // interval trigger + deadline-poll: a processing-time-TTL query
-      // schedules timer micro-batches forever, so neither
-      // processAllAvailable nor Trigger.AvailableNow ever quiesces
-      // (see nearDupGateTws scaladoc)
+      // interval trigger + deadline-poll (the harness shape the
+      // processing-time-TTL gate required; the event-time gate
+      // quiesces normally, and the poll is simply robust either way)
       val q = out.writeStream.format("memory").queryName("neardup_tws")
         .outputMode(OutputMode.Append())
         .option("checkpointLocation", ckpt)
@@ -277,6 +276,22 @@ class StreamingSpec extends SparkSpec {
       mem.addData(page("u4", 65 * m, textA)) // within TTL → suppressed
       Thread.sleep(3000) // several trigger cycles for the would-be dup
       spark.table("neardup_tws").count() shouldBe 2L
+      // EVENT-TIME eviction (round 6): textA's timer expires at
+      // last-seen-max (65m) + ttl (120m) = 185m. Advance the watermark
+      // past it with fresh docs (300m − 30m lateness = 270m), then a
+      // textA re-arrival must be ADMITTED again — the processing-time-
+      // TTL shape this replaced kept every signature live for a
+      // wall-clock hour and would still suppress it here.
+      val textC = "yet another unrelated page about parquet row groups"
+      val textD = "and one more on shuffle partitions and exchange reuse"
+      mem.addData(page("u5", 300 * m, textC)) // admits; wm → 270m after
+      awaitRows(3)
+      mem.addData(page("u6", 310 * m, textD)) // admits; textA timer fires
+      awaitRows(4)
+      mem.addData(page("u7", 320 * m, textA)) // state cleared → admitted
+      awaitRows(5)
+      spark.table("neardup_tws").collect().map(_.getString(0)).toSet shouldBe
+        Set("u1", "u3", "u5", "u6", "u7")
       q.stop()
     } finally {
       prevProvider match {
