@@ -153,7 +153,7 @@ class PlanSpec extends SparkSpec {
     } finally g.unpersist()
   }
 
-  test("link stage: codegen scorer, lazy broadcast alias-df, no object boundary") {
+  test("link stage: one candidate-stream exchange, lazy broadcast alias-df, sorts pinned") {
     import graft.model.CandidateRow
     val cands = spark.createDataset(Seq(
       CandidateRow("u1", 0, 1, "acme", 1L, 0.9),
